@@ -1,0 +1,21 @@
+"""unified_cvo_tpu — TPU-native continuous visual odometry & registration.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+UMich-CURLY/unified_cvo (RKHS correspondence-free registration): point clouds
+are lifted to functions f(X) = sum_i l_i k(., x_i) in a reproducing-kernel
+Hilbert space and registration maximizes <f(X), f(TY)> over SE(3) by gradient
+flow (reference: README.md:1-17).
+
+Sub-packages
+------------
+ops       : Lie-group math, cubic solver, fused pairwise-kernel reductions
+models    : pairwise aligner (gradient flow), multiframe IRLS BA, pose graph
+frontend  : image/stereo/RGB-D/lidar -> feature point clouds
+datasets  : KITTI / TUM / TartanAir / PCD IO
+parallel  : mesh sharding, batched f2f alignment, distributed BA
+utils     : point-cloud containers, voxel grid, trajectory metrics
+"""
+
+from unified_cvo_tpu.config import CvoParams, read_cvo_params_yaml
+
+__version__ = "0.1.0"
