@@ -1,0 +1,120 @@
+"""KITTI stereo frame-to-frame odometry — the cvo_align_gpu_img twin.
+
+Usage:
+    python -m unified_cvo_tpu.apps.kitti_odometry SEQ_DIR PARAMS.yaml OUT.txt \
+        [START_FRAME] [MAX_FRAMES]
+
+Mirrors src/experiments/main_cvo_gpu_align_raw_image.cpp:22-169: per frame,
+build a stereo point cloud (FAST-adaptive selection + SGM disparity), align
+against the previous frame with the previous relative motion as the initial
+guess (constant velocity), accumulate, and stream KITTI-format rows to OUT.
+The first pair uses the *_first_frame parameter swap (main:40-46,156-161).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from unified_cvo_tpu.config import read_cvo_params_yaml
+from unified_cvo_tpu.datasets.kitti import KittiHandler, write_kitti_pose_row
+from unified_cvo_tpu.frontend.pipeline import pointcloud_from_stereo
+from unified_cvo_tpu.models.align import align
+
+CAPACITY = 32768  # one jit trace for all frames (28k max FAST budget + pad)
+
+
+def run_sequence(
+    seq_dir: str,
+    param_file: str,
+    out_path: str,
+    start_frame: int = 0,
+    max_frames: int = 100000,
+    denoise: bool = True,
+    chunk: int = 4096,
+    max_iter: int | None = None,
+    log=print,
+):
+    kitti = KittiHandler(seq_dir, "stereo")
+    calib = kitti.calibration()
+    params = read_cvo_params_yaml(param_file)
+    first_params = params.first_frame()
+    kitti.set_start_index(start_frame)
+
+    out = open(out_path, "w")
+    out.write("1 0 0 0 0 1 0 0 0 0 1 0\n")
+    out.flush()
+
+    pair = kitti.read_next_stereo()
+    if pair is None:
+        raise RuntimeError("empty sequence")
+    source = pointcloud_from_stereo(
+        pair[0], pair[1], calib, denoise=denoise, capacity=CAPACITY
+    )
+
+    init_guess = np.eye(4, dtype=np.float32)
+    accum = np.eye(4, dtype=np.float64)
+    total_time = 0.0
+    n_frames = min(len(kitti), start_frame + max_frames)
+    poses = [accum.copy()]
+
+    for i in range(start_frame, n_frames - 1):
+        kitti.next()
+        pair = kitti.read_next_stereo()
+        if pair is None:
+            break
+        t0 = time.time()
+        target = pointcloud_from_stereo(
+            pair[0], pair[1], calib, denoise=denoise, capacity=CAPACITY
+        )
+        t_frontend = time.time() - t0
+
+        p = first_params if i == start_frame else params
+        t0 = time.time()
+        T, ret, info = align(
+            source,
+            target,
+            jnp.asarray(np.linalg.inv(init_guess).astype(np.float32)),
+            p,
+            chunk=chunk,
+            max_iter=max_iter,
+        )
+        result = np.asarray(T).astype(np.float64)
+        t_align = time.time() - t0
+        total_time += t_align
+
+        init_guess = result.astype(np.float32)
+        accum = accum @ result
+        poses.append(accum.copy())
+        write_kitti_pose_row(out, accum)
+        log(
+            f"frame {i}->{i+1}: iters={int(info.iterations)} "
+            f"ell={float(info.final_ell):.3f} ret={int(ret)} "
+            f"frontend={t_frontend:.2f}s align={t_align:.2f}s"
+        )
+        source = target
+
+    out.close()
+    n_aligned = len(poses) - 1
+    log(f"Average registration time is {total_time / max(n_aligned, 1):.3f}")
+    return np.asarray(poses)
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) < 3:
+        print(__doc__)
+        return 1
+    seq_dir, param_file, out_path = argv[:3]
+    start = int(argv[3]) if len(argv) > 3 else 0
+    max_frames = int(argv[4]) if len(argv) > 4 else 100000
+    run_sequence(seq_dir, param_file, out_path, start, max_frames)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

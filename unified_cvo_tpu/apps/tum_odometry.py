@@ -1,0 +1,113 @@
+"""TUM RGB-D frame-to-frame odometry — the cvo_align_gpu_rgbd twin.
+
+Usage:
+    python -m unified_cvo_tpu.apps.tum_odometry SEQ_DIR PARAMS.yaml OUT.txt \
+        [START_FRAME] [MAX_FRAMES]
+
+Writes a TUM-format trajectory (timestamp tx ty tz qx qy qz qw) of
+accumulated camera poses. Mirrors src/experiments/main_cvo_gpu_align_rgbd_raw_image.cpp.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from unified_cvo_tpu.config import read_cvo_params_yaml
+from unified_cvo_tpu.datasets.tum import TumHandler, write_tum_pose_row
+from unified_cvo_tpu.frontend.pipeline import pointcloud_from_rgbd
+from unified_cvo_tpu.models.align import align
+
+CAPACITY = 16384
+
+
+def run_sequence(
+    seq_dir: str,
+    param_file: str,
+    out_path: str,
+    start_frame: int = 0,
+    max_frames: int = 100000,
+    denoise: bool = True,
+    chunk: int = 4096,
+    max_iter: int | None = None,
+    log=print,
+):
+    tum = TumHandler(seq_dir)
+    calib = tum.calibration()
+    params = read_cvo_params_yaml(param_file)
+    first_params = params.first_frame()
+    tum.set_start_index(start_frame)
+
+    out = open(out_path, "w")
+    pair = tum.read_next_rgbd()
+    if pair is None:
+        raise RuntimeError("empty sequence")
+    source = pointcloud_from_rgbd(
+        pair[0], pair[1], calib, denoise=denoise, capacity=CAPACITY
+    )
+    accum = np.eye(4, dtype=np.float64)
+    write_tum_pose_row(out, tum.timestamp(), accum)
+
+    init_guess = np.eye(4, dtype=np.float32)
+    total_time = 0.0
+    n_frames = min(len(tum), start_frame + max_frames)
+    poses = [accum.copy()]
+    timestamps = [tum.timestamp()]
+
+    for i in range(start_frame, n_frames - 1):
+        tum.next()
+        pair = tum.read_next_rgbd()
+        if pair is None:
+            break
+        target = pointcloud_from_rgbd(
+            pair[0], pair[1], calib, denoise=denoise, capacity=CAPACITY
+        )
+        p = first_params if i == start_frame else params
+        t0 = time.time()
+        T, ret, info = align(
+            source,
+            target,
+            jnp.asarray(np.linalg.inv(init_guess).astype(np.float32)),
+            p,
+            chunk=chunk,
+            max_iter=max_iter,
+        )
+        result = np.asarray(T).astype(np.float64)
+        t_align = time.time() - t0
+        total_time += t_align
+
+        init_guess = result.astype(np.float32)
+        accum = accum @ result
+        poses.append(accum.copy())
+        timestamps.append(tum.timestamp())
+        write_tum_pose_row(out, tum.timestamp(), accum)
+        log(
+            f"frame {i}->{i+1}: iters={int(info.iterations)} "
+            f"ell={float(info.final_ell):.3f} align={t_align:.2f}s"
+        )
+        source = target
+
+    out.close()
+    log(f"Average registration time is {total_time / max(len(poses) - 1, 1):.3f}")
+    return np.asarray(poses), timestamps
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) < 3:
+        print(__doc__)
+        return 1
+    run_sequence(
+        argv[0], argv[1], argv[2],
+        int(argv[3]) if len(argv) > 3 else 0,
+        int(argv[4]) if len(argv) > 4 else 100000,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -19,8 +19,9 @@ from typing import Optional
 import yaml
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class CvoParams:
+    """Frozen (hashable) so a params object can be a jit static argument."""
     # lengthscale schedule (reference CvoParams.hpp:14-19)
     ell_init_first_frame: float = 0.5
     ell_init: float = 0.5

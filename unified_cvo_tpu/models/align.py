@@ -1,0 +1,269 @@
+"""Pairwise RKHS registration by se(3) gradient flow — the CvoGPU::align twin.
+
+The whole iteration loop lives inside ONE jitted `lax.while_loop`
+(carrying pose, lengthscale, and the indicator windows), eliminating the
+reference's per-iteration host round-trips (R,T up / omega,v,B..E down each
+iteration; reference align_impl, src/cvo/CvoGPU.cu:1340-1572).
+
+Loop structure per iteration (matching align_impl's order):
+  1. y_t = (R,T)^{-1} . y0          (update_tf + transform_pointcloud_thrust)
+  2. streaming kernel pass -> flow stats -> normalized twist   (se_kernel +
+     compute_flow)
+  3. streaming pass 2 -> B,C,D,E -> cubic step size            (compute_step_size)
+  4. degenerate-flow break (ret=-1)                            (CvoGPU.cu:1454-1458)
+  5. pose update R <- R dR, T <- R dT + T with (dR,dT)=exp(step*twist)
+  6. step-distance break: ||log(dR,dT)|| < eps_2               (CvoGPU.cu:1505-1508)
+  7. indicator update; if k > ell_decay_start and the two indicator windows
+     agree: ell <- max(ell * decay, ell_min)                   (CvoGPU.cu:1509-1517)
+
+Transform conventions follow the reference exactly: the loop state (R,T) is
+initialized from init_guess and the *returned* transform is its inverse
+[R^T, -R^T T], i.e. the map taking target-frame points into the source frame
+(update_tf, CvoGPU.cu:94-112).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from unified_cvo_tpu.config import CvoParams
+from unified_cvo_tpu.ops import indicator as indicator_ops
+from unified_cvo_tpu.ops import kernels, lie
+from unified_cvo_tpu.ops.poly import step_from_poly
+from unified_cvo_tpu.utils.pointcloud import PointCloud
+
+
+class AlignInfo(NamedTuple):
+    iterations: jax.Array
+    final_ell: jax.Array
+    final_step: jax.Array
+    final_dist: jax.Array
+    nonzeros: jax.Array
+    inner_product: jax.Array
+    history: Optional[dict] = None  # per-iteration logs when record_history
+
+
+class _Carry(NamedTuple):
+    R: jax.Array
+    T: jax.Array
+    ell: jax.Array
+    k: jax.Array
+    done: jax.Array
+    ret: jax.Array
+    step: jax.Array
+    dist: jax.Array
+    nonzeros: jax.Array
+    a_sum: jax.Array
+    ind: indicator_ops.IndicatorState
+    history: Optional[dict]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "record_history", "chunk", "max_iter")
+)
+def align(
+    source: PointCloud,
+    target: PointCloud,
+    init_guess: jax.Array,
+    params: CvoParams,
+    record_history: bool = False,
+    chunk: int = kernels.DEFAULT_CHUNK,
+    max_iter: Optional[int] = None,
+):
+    """Register target onto source. Returns (transform[4,4], ret, AlignInfo).
+
+    `init_guess` is in the same frame convention as CvoGPU::align's
+    init_guess_transform argument (callers typically pass the inverse of the
+    source->target prior; see main_cvo_gpu_align_two_color_pcd.cpp:71-82).
+    """
+    f32 = jnp.float32
+    max_iter = params.MAX_ITER if max_iter is None else max_iter
+    R0 = jnp.asarray(init_guess[:3, :3], f32)
+    T0 = jnp.asarray(init_guess[:3, 3], f32)
+    nx = source.num_valid
+    ny = target.num_valid
+    sqrt_nxny = jnp.sqrt(jnp.maximum(nx * ny, 1.0))
+
+    if record_history:
+        hist = {
+            name: jnp.zeros((max_iter,), f32)
+            for name in ("ell", "step", "dist", "ip", "nonzeros", "a_sum")
+        }
+    else:
+        hist = None
+
+    def cond(c: _Carry):
+        return jnp.logical_not(c.done) & (c.k < max_iter)
+
+    def body(c: _Carry) -> _Carry:
+        Rinv, Tinv = lie.invert_rt(c.R, c.T)
+        y_t = target.transformed(Rinv, Tinv)
+
+        stats = kernels.flow_stats(params, c.ell, source, y_t, chunk)
+        twist, joint_norm = kernels.flow_from_stats(params, source, stats)
+        B, C, D, E = kernels.step_coeffs(params, c.ell, source, y_t, twist, chunk)
+        step = step_from_poly(B, C, D, E, params.min_step, params.max_step)
+
+        # degenerate-flow break (reference CvoGPU.cu:1452-1458). The eps test
+        # on the *normalized* twist can only fire when the flow vanished, so
+        # the operative check is the 1e-8 pre-normalization magnitude.
+        degenerate = (joint_norm < 1e-8) | jnp.isnan(joint_norm)
+        eps_break = (jnp.linalg.norm(twist[:3]) < params.eps) & (
+            jnp.linalg.norm(twist[3:]) < params.eps
+        )
+        break_now = degenerate | eps_break
+
+        dR, dT = lie.se3_exp(twist, step)
+        R_new = c.R @ dR
+        T_new = c.R @ dT + c.T
+        dist = lie.se3_distance(dR, dT)
+        nan_break = jnp.isnan(dist)
+
+        ip_curr = stats.nonzeros.astype(f32) / sqrt_nxny
+        ind_new, decrease = indicator_ops.update(
+            c.ind, ip_curr, params.indicator_stable_threshold
+        )
+        dist_break = dist < params.eps_2
+
+        continuing = jnp.logical_not(break_now | nan_break | dist_break)
+        decay = (c.k > params.ell_decay_start) & decrease & continuing
+        ell_new = jnp.where(
+            decay,
+            jnp.maximum(c.ell * params.ell_decay_rate, params.ell_min),
+            c.ell,
+        )
+
+        keep_old_pose = break_now  # reference breaks before applying the update
+        R_out = jnp.where(keep_old_pose, c.R, R_new)
+        T_out = jnp.where(keep_old_pose, c.T, T_new)
+
+        if c.history is not None:
+            hist_new = {
+                "ell": c.history["ell"].at[c.k].set(c.ell),
+                "step": c.history["step"].at[c.k].set(step),
+                "dist": c.history["dist"].at[c.k].set(dist),
+                "ip": c.history["ip"].at[c.k].set(ip_curr),
+                "nonzeros": c.history["nonzeros"].at[c.k].set(stats.nonzeros.astype(f32)),
+                "a_sum": c.history["a_sum"].at[c.k].set(stats.a_sum),
+            }
+        else:
+            hist_new = None
+
+        return _Carry(
+            R=R_out,
+            T=T_out,
+            ell=ell_new,
+            k=c.k + 1,
+            done=break_now | nan_break | dist_break,
+            ret=jnp.where(degenerate, -1, 0).astype(jnp.int32),
+            step=step,
+            dist=dist,
+            nonzeros=stats.nonzeros,
+            a_sum=stats.a_sum,
+            ind=ind_new,
+            history=hist_new,
+        )
+
+    init = _Carry(
+        R=R0,
+        T=T0,
+        ell=jnp.asarray(params.ell_init, f32),
+        k=jnp.zeros((), jnp.int32),
+        done=jnp.zeros((), bool),
+        ret=jnp.zeros((), jnp.int32),
+        step=jnp.zeros((), f32),
+        dist=jnp.zeros((), f32),
+        nonzeros=jnp.zeros((), jnp.int32),
+        a_sum=jnp.zeros((), f32),
+        ind=indicator_ops.init_state(params.indicator_window_size),
+        history=hist,
+    )
+    final = lax.while_loop(cond, body, init)
+
+    Rf, Tf = lie.invert_rt(final.R, final.T)
+    transform = lie.rt_to_mat44(Rf, Tf)
+    info = AlignInfo(
+        iterations=final.k,
+        final_ell=final.ell,
+        final_step=final.step,
+        final_dist=final.dist,
+        nonzeros=final.nonzeros,
+        inner_product=final.a_sum,
+        history=final.history,
+    )
+    return transform, final.ret, info
+
+
+@functools.partial(jax.jit, static_argnames=("params", "chunk"))
+def inner_product(
+    source: PointCloud,
+    target: PointCloud,
+    transform: jax.Array,
+    ell,
+    params: CvoParams,
+    chunk: int = kernels.DEFAULT_CHUNK,
+):
+    """<f(X), f(Y o T^{-1})> — single kernel evaluation, summed.
+
+    Matches inner_product_impl (CvoGPU.cu:1719-1778): the moving cloud is
+    transformed by the *inverse* of the given transform before the kernel.
+    """
+    R, T = lie.mat44_to_rt(jnp.asarray(transform, jnp.float32))
+    Rinv, Tinv = lie.invert_rt(R, T)
+    y_t = target.transformed(Rinv, Tinv)
+    stats = kernels.flow_stats(params, jnp.asarray(ell, jnp.float32), source, y_t, chunk)
+    return stats.a_sum
+
+
+def function_angle(
+    source: PointCloud,
+    target: PointCloud,
+    transform,
+    ell,
+    params: CvoParams,
+    approximate: bool = True,
+    chunk: int = kernels.DEFAULT_CHUNK,
+):
+    """cos(theta) overlap indicator (CvoGPU::function_angle, CvoGPU.cu:1814-1873)."""
+    fxfz = inner_product(source, target, jnp.asarray(transform), ell, params, chunk)
+    eye = jnp.eye(4, dtype=jnp.float32)
+    if approximate:
+        fx_norm = jnp.sqrt(source.num_valid)
+        fz_norm = jnp.sqrt(target.num_valid)
+    else:
+        fx_norm = jnp.sqrt(inner_product(source, source, eye, ell, params, chunk))
+        fz_norm = jnp.sqrt(inner_product(target, target, eye, ell, params, chunk))
+    return fxfz / (fx_norm * fz_norm)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "top_k", "chunk"))
+def compute_association(
+    source: PointCloud,
+    target: PointCloud,
+    transform: jax.Array,
+    ell,
+    params: CvoParams,
+    top_k: int = 64,
+    chunk: int = kernels.DEFAULT_CHUNK,
+):
+    """Soft data association export (CvoGPU::compute_association_gpu,
+    CvoGPU.cu:1876-1995): per-source-row top-k (value, target-index) pairs
+    with 0/-1 padding, plus source/target inlier masks."""
+    R, T = lie.mat44_to_rt(jnp.asarray(transform, jnp.float32))
+    Rinv, Tinv = lie.invert_rt(R, T)
+    y_t = target.transformed(Rinv, Tinv)
+    vals, idx = kernels.association_topk(
+        params, jnp.asarray(ell, jnp.float32), source, y_t, top_k, chunk
+    )
+    source_inliers = jnp.any(vals > 0, axis=1)
+    target_inliers = (
+        jnp.zeros((target.capacity,), bool)
+        .at[jnp.where(idx >= 0, idx, 0).reshape(-1)]
+        .max((vals > 0).reshape(-1))
+    )
+    return vals, idx, source_inliers, target_inliers

@@ -1,0 +1,311 @@
+"""Fused pairwise-kernel reductions — the N x M hot path, in blocked jnp.
+
+This re-designs the reference's sparse-ELL kernel pipeline
+(fill_in_A_mat_gpu, CvoGPU.cu:477-593; compute_flow, :729-848;
+compute_step_size_*, :953-1164) as *streaming dense-block reductions*: the
+kernel matrix A is never materialized. Every quantity the align loop needs is
+of the form sum_ij A_ij * g(x_i, y_j), so each (source x target-chunk) block
+computes its A tile and immediately reduces it:
+
+  * flow:  row sums s_i = sum_j A_ij and the matmul w_i = sum_j A_ij y_j give
+    omega = sum_i x_i cross w_i / c and v = sum_i (w_i - s_i x_i) / d —
+    exactly compute_flow_gpu_no_eigen's per-row accumulation, but on the MXU.
+  * step coefficients B,C,D,E: per-pair beta/gamma/delta/epsilon are built
+    from four dot-product matrices X @ xi{1..4}z^T minus per-column scalars,
+    then combined elementwise (compute_step_size_poly_coeff semantics).
+
+Unlike the reference we apply no `num_neighbors` row cap: the cap is a CUDA
+memory-format artifact (first-K-in-scan-order truncation of the ELL matrix,
+CvoGPU.cu:576-589); the dense streaming form keeps *all* pairs above
+sp_thres, which can only improve the registration. The nonzero count that
+feeds the lengthscale indicator counts the same thresholded entries.
+
+The geometric lengthscale is range-scaled per source point
+l_i = (|x_i|/500 + 1) * ell unconditionally, as in fill_in_A_mat_gpu
+(CvoGPU.cu:87-90, 507); the step-size pass range-scales only when
+is_using_range_ell (CvoGPU.cu:1035-1038).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from unified_cvo_tpu.ops import lie
+from unified_cvo_tpu.utils.pointcloud import PointCloud
+
+DEFAULT_CHUNK = 2048
+
+
+def range_ell(ell, dist_to_sensor):
+    """compute_range_ell (reference CvoGPU.cu:87-90)."""
+    return (dist_to_sensor / 500.0 + 1.0) * ell
+
+
+def pad_cloud_to_multiple(pc: PointCloud, multiple: int) -> PointCloud:
+    """Zero-pad (mask=0) a cloud so capacity % multiple == 0. Static shapes,
+    so this is free to call inside jit."""
+    n = pc.capacity
+    target = ((n + multiple - 1) // multiple) * multiple
+    if target == n:
+        return pc
+    extra = target - n
+
+    def pad(a):
+        if a is None:
+            return None
+        width = [(0, extra)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, width)
+
+    return PointCloud(
+        xyz=pad(pc.xyz),
+        mask=pad(pc.mask),
+        features=pad(pc.features),
+        labels=pad(pc.labels),
+        geometric_types=pad(pc.geometric_types),
+    )
+
+
+def _slice_cloud(pc: PointCloud, start, size):
+    def sl(a):
+        return None if a is None else lax.dynamic_slice_in_dim(a, start, size, axis=0)
+
+    return PointCloud(
+        xyz=sl(pc.xyz),
+        mask=sl(pc.mask),
+        features=sl(pc.features),
+        labels=sl(pc.labels),
+        geometric_types=sl(pc.geometric_types),
+    )
+
+
+def kernel_block(params, ell, x: PointCloud, yb: PointCloud):
+    """One [I, J] tile of the sparsified kernel matrix A.
+
+    Transcribes the per-pair math of fill_in_A_mat_gpu (CvoGPU.cu:477-593):
+    geometric SE kernel with range-scaled lengthscale, color kernel, semantic
+    kernel, geometric-type cosine^2 gate, each with its own distance gate,
+    then the sp_thres sparsification. Gated/masked entries are exactly 0.
+    """
+    f32 = jnp.float32
+    xp, yp = x.xyz, yb.xyz
+    I, J = xp.shape[0], yp.shape[0]
+    a = jnp.ones((I, J), f32)
+    ok = (x.mask[:, None] > 0) & (yb.mask[None, :] > 0)
+    sp = f32(params.sp_thres)
+
+    if params.is_using_geometric_type:
+        xg, yg = x.geometric_types, yb.geometric_types
+        dot = xg @ yg.T
+        n2x = jnp.sum(xg * xg, -1)[:, None]
+        n2y = jnp.sum(yg * yg, -1)[None, :]
+        geo = dot * dot / jnp.maximum(n2x * n2y, 1e-12)
+        ok &= geo >= 0.01  # gate (CvoGPU.cu:541-542)
+        a = a * geo
+
+    if params.is_using_geometry:
+        sigma2 = f32(params.sigma) ** 2
+        # explicit coordinate differences: no |x|^2 cancellation at small d2
+        d2 = jnp.zeros((I, J), f32)
+        for c in range(3):
+            diff = xp[:, c : c + 1] - yp[None, :, c]
+            d2 = d2 + diff * diff
+        l_i = range_ell(ell, jnp.linalg.norm(xp, axis=-1))[:, None]
+        two_l2 = 2.0 * l_i * l_i
+        d2_thres = -two_l2 * jnp.log(sp / sigma2)
+        ok &= d2 < d2_thres
+        a = a * sigma2 * jnp.exp(-d2 / two_l2)
+
+    if params.is_using_intensity:
+        xf, yf = x.features, yb.features
+        c_ell2 = f32(params.c_ell) ** 2
+        c_sigma2 = f32(params.c_sigma) ** 2
+        d2c = (
+            jnp.sum(xf * xf, -1)[:, None]
+            + jnp.sum(yf * yf, -1)[None, :]
+            - 2.0 * (xf @ yf.T)
+        )
+        d2c = jnp.maximum(d2c, 0.0)
+        d2c_thres = -2.0 * c_ell2 * jnp.log(sp / c_sigma2)
+        ok &= d2c < d2c_thres
+        a = a * c_sigma2 * jnp.exp(-d2c / (2.0 * c_ell2))
+
+    if params.is_using_semantics:
+        xl, yl = x.labels, yb.labels
+        s_ell2 = f32(params.s_ell) ** 2
+        s_sigma2 = f32(params.s_sigma) ** 2
+        d2s = (
+            jnp.sum(xl * xl, -1)[:, None]
+            + jnp.sum(yl * yl, -1)[None, :]
+            - 2.0 * (xl @ yl.T)
+        )
+        d2s = jnp.maximum(d2s, 0.0)
+        d2s_thres = -2.0 * s_ell2 * jnp.log(sp / s_sigma2)
+        ok &= d2s < d2s_thres
+        a = a * s_sigma2 * jnp.exp(-d2s / (2.0 * s_ell2))
+
+    return jnp.where(ok & (a > sp), a, 0.0)
+
+
+class FlowStats(NamedTuple):
+    row_sum: jax.Array    # [N]   s_i = sum_j A_ij
+    row_wy: jax.Array     # [N,3] w_i = sum_j A_ij y_j
+    nonzeros: jax.Array   # scalar count of A_ij > sp_thres
+    a_sum: jax.Array      # scalar sum of A (the RKHS inner product value)
+
+
+def flow_stats(params, ell, x: PointCloud, y_t: PointCloud, chunk: int = DEFAULT_CHUNK) -> FlowStats:
+    """Streaming pass 1: kernel row statistics over target chunks."""
+    chunk = min(chunk, y_t.capacity)
+    y_t = pad_cloud_to_multiple(y_t, chunk)
+    M = y_t.capacity
+    nchunks = M // chunk
+    N = x.capacity
+
+    def body(c, carry):
+        s, w, cnt, asum = carry
+        yb = _slice_cloud(y_t, c * chunk, chunk)
+        a = kernel_block(params, ell, x, yb)
+        s = s + jnp.sum(a, axis=1)
+        w = w + a @ yb.xyz
+        cnt = cnt + jnp.sum(a > 0)
+        asum = asum + jnp.sum(a)
+        return s, w, cnt, asum
+
+    init = (
+        jnp.zeros((N,), jnp.float32),
+        jnp.zeros((N, 3), jnp.float32),
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.float32),
+    )
+    s, w, cnt, asum = lax.fori_loop(0, nchunks, body, init)
+    return FlowStats(s, w, cnt, asum)
+
+
+def flow_from_stats(params, x: PointCloud, stats: FlowStats):
+    """se(3) gradient flow (reference compute_flow, CvoGPU.cu:729-848).
+
+    Returns (unit_twist [6], joint_norm) where unit_twist = [omega, v]
+    jointly normalized; joint_norm is the pre-normalization magnitude used
+    for the degeneracy test.
+    """
+    omega = jnp.sum(jnp.cross(x.xyz, stats.row_wy), axis=0) / params.c
+    v = jnp.sum(stats.row_wy - stats.row_sum[:, None] * x.xyz, axis=0) / params.d
+    joint = jnp.concatenate([omega, v])
+    jn = jnp.linalg.norm(joint)
+    unit = joint / jnp.where(jn < 1e-30, 1.0, jn)
+    return unit, jn
+
+
+def step_coeffs(
+    params, ell, x: PointCloud, y_t: PointCloud, twist, chunk: int = DEFAULT_CHUNK
+):
+    """Streaming pass 2: quartic Taylor coefficients B, C, D, E.
+
+    Transcribes compute_step_size_xi + compute_step_size_poly_coeff
+    (CvoGPU.cu:953-1082). The per-pair dot products xi{1..4}z_j . (x_i - y_j)
+    decompose as X @ xi{k}z^T - diag-broadcast, so each tile is four thin
+    matmuls plus VPU polynomial evaluation, reduced in place.
+    """
+    chunk = min(chunk, y_t.capacity)
+    y_t = pad_cloud_to_multiple(y_t, chunk)
+    omega, v = twist[:3], twist[3:]
+    W = lie.skew(omega)
+    W2, W3 = W @ W, W @ W @ W
+    W4 = W2 @ W2
+    y = y_t.xyz
+    # per-target-point flow derivatives (compute_step_size_xi)
+    xiz = y @ W.T + v
+    xi2z = y @ W2.T + W @ v
+    xi3z = y @ W3.T + W2 @ v
+    xi4z = y @ W4.T + W3 @ v
+    normxiz2 = jnp.sum(xiz * xiz, -1)
+    xdx2 = -jnp.sum(xiz * xi2z, -1)
+    epsc = jnp.sum(xi2z * xi2z, -1) + 2.0 * jnp.sum(xiz * xi3z, -1)
+    # per-j dots with y_j (the "- y_j part" of the pair dot)
+    ydot1 = jnp.sum(y * xiz, -1)
+    ydot2 = jnp.sum(y * xi2z, -1)
+    ydot3 = jnp.sum(y * xi3z, -1)
+    ydot4 = jnp.sum(y * xi4z, -1)
+
+    xp = x.xyz
+    if params.is_using_range_ell:
+        l_i = range_ell(ell, jnp.linalg.norm(xp, axis=-1))
+    else:
+        l_i = jnp.full((x.capacity,), ell, jnp.float32)
+    coef = (1.0 / (2.0 * l_i * l_i))[:, None]  # 1/(2 l^2), [N,1]
+
+    M = y_t.capacity
+    nchunks = M // chunk
+
+    def body(c, carry):
+        B, C, D, E = carry
+        lo = c * chunk
+        yb = _slice_cloud(y_t, lo, chunk)
+        a = kernel_block(params, ell, x, yb)
+        sl = lambda arr: lax.dynamic_slice_in_dim(arr, lo, chunk, axis=0)
+        d1 = xp @ sl(xiz).T - sl(ydot1)[None, :]
+        d2_ = xp @ sl(xi2z).T - sl(ydot2)[None, :]
+        d3 = xp @ sl(xi3z).T - sl(ydot3)[None, :]
+        d4 = xp @ sl(xi4z).T - sl(ydot4)[None, :]
+        beta = -2.0 * coef * d1
+        gamma = -coef * (sl(normxiz2)[None, :] + 2.0 * d2_)
+        delta = 2.0 * coef * (sl(xdx2)[None, :] - d3)
+        epsil = -coef * (sl(epsc)[None, :] + 2.0 * d4)
+        b2 = beta * beta
+        B = B + jnp.sum(a * beta)
+        C = C + jnp.sum(a * (gamma + 0.5 * b2))
+        D = D + jnp.sum(a * (delta + beta * gamma + b2 * beta / 6.0))
+        E = E + jnp.sum(
+            a
+            * (
+                epsil
+                + beta * delta
+                + 0.5 * b2 * gamma
+                + 0.5 * gamma * gamma
+                + b2 * b2 / 24.0
+            )
+        )
+        return B, C, D, E
+
+    zero = jnp.zeros((), jnp.float32)
+    return lax.fori_loop(0, nchunks, body, (zero, zero, zero, zero))
+
+
+def association_topk(
+    params, ell, x: PointCloud, y_t: PointCloud, k: int, chunk: int = DEFAULT_CHUNK
+):
+    """Per-source-row top-k kernel entries: (values [N,k], target idx [N,k]).
+
+    TPU-shaped replacement for the reference's sparse Association export
+    (compute_association_gpu, CvoGPU.cu:1876-1995): fixed-width rows with
+    value 0 / index -1 padding instead of an Eigen sparse matrix.
+    """
+    chunk = min(chunk, y_t.capacity)
+    y_t = pad_cloud_to_multiple(y_t, chunk)
+    M = y_t.capacity
+    nchunks = M // chunk
+    N = x.capacity
+
+    def body(c, carry):
+        vals, idx = carry
+        lo = c * chunk
+        yb = _slice_cloud(y_t, lo, chunk)
+        a = kernel_block(params, ell, x, yb)
+        cols = lo + jax.lax.broadcasted_iota(jnp.int32, (N, chunk), 1)
+        cand_vals = jnp.concatenate([vals, a], axis=1)
+        cand_idx = jnp.concatenate([idx, cols], axis=1)
+        vals, sel = lax.top_k(cand_vals, k)
+        idx = jnp.take_along_axis(cand_idx, sel, axis=1)
+        return vals, idx
+
+    init = (
+        jnp.zeros((N, k), jnp.float32),
+        jnp.full((N, k), -1, jnp.int32),
+    )
+    vals, idx = lax.fori_loop(0, nchunks, body, init)
+    idx = jnp.where(vals > 0, idx, -1)
+    return vals, idx
