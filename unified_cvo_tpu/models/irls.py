@@ -1,0 +1,293 @@
+"""Multiframe IRLS bundle adjustment — the CvoBatchIRLS twin, TPU-native.
+
+Reference architecture (src/cvo/IRLS.cpp:77-215): an outer IRLS loop
+re-evaluates every edge's kernel matrix A (the "weights") at the current
+poses, freezes it, then Ceres-solves the weighted point-to-point problem
+  J(T) = sum_edges sum_pairs A_ij || T1 p1_i - T2 p2_j ||^2
+with one residual object per nonzero pair (IRLS_State_GPU.cpp:10-51,
+IRLS_Cost_CPU.hpp:77-182) and SPARSE_SCHUR on 24 CPU threads.
+
+TPU-native redesign: the cost is quadratic in the *homogeneous second
+moments* of each edge,
+  P11 = sum A_ij h1_i h1_i^T,  P12 = sum A_ij h1_i h2_j^T,
+  P22 = sum A_ij h2_j h2_j^T          (h = [p; 1], all 4x4),
+because q = T h is linear in the points. One streaming kernel pass per edge
+per outer iteration produces these 48 floats; every Gauss-Newton inner
+iteration then builds the exact 6x6 pose-block Hessian/gradient from
+{T_a P T_b^T} contractions — no per-pair residuals, no ELL device->host
+copy (the reference's copy_internal_SparseKernelMat_gpu_to_cpu,
+IRLS_State_GPU.cu:68, is eliminated), no Ceres. The reduced 6F x 6F system
+is dense-Cholesky-solved on-device (F = #frames is small); gauge freedom is
+fixed by zeroing pivot-frame rows/columns.
+
+The outer schedule replicates IRLS.cpp:118-206: edges gated by
+multiframe_min_nonzeros, ell decayed by multiframe_ell_decay_rate when
+total nonzeros stop growing, convergence at multiframe_ell_min.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from unified_cvo_tpu.config import CvoParams
+from unified_cvo_tpu.ops import kernels, lie
+from unified_cvo_tpu.utils.pointcloud import PointCloud
+
+
+class EdgeMoments(NamedTuple):
+    P11: jax.Array       # [E,4,4]
+    P12: jax.Array       # [E,4,4]
+    P22: jax.Array       # [E,4,4]
+    nonzeros: jax.Array  # [E] int32
+
+
+def _homog(xyz):
+    return jnp.concatenate([xyz, jnp.ones_like(xyz[..., :1])], axis=-1)
+
+
+def _edge_moments_single(params, ell, c1: PointCloud, c2: PointCloud,
+                         T1, T2, chunk: int) -> EdgeMoments:
+    """Streaming kernel pass between two *transformed* clouds -> moments.
+
+    T1, T2 are [3,4] row-major pose blocks (reference CvoFrame::pose_vec
+    layout, CvoFrame.hpp:12-36). The kernel is evaluated at the transformed
+    points, as BinaryStateGPU::update_inner_product does
+    (IRLS_State_GPU.cu:43-79); the moments are over the *original* points so
+    the GN can re-linearize at any pose without touching points again.
+    """
+    R1, t1 = T1[:, :3], T1[:, 3]
+    R2, t2 = T2[:, :3], T2[:, 3]
+    c1_t = c1.transformed(R1, t1)
+    c2_t = c2.transformed(R2, t2)
+
+    chunk = min(chunk, c2.capacity)
+    c2_t = kernels.pad_cloud_to_multiple(c2_t, chunk)
+    c2_pad = kernels.pad_cloud_to_multiple(c2, chunk)
+    M = c2_t.capacity
+    nchunks = M // chunk
+    N = c1.capacity
+    h1 = _homog(c1.xyz)                      # [N,4] original coords
+
+    def body(c, carry):
+        rs, ah2, cs, cnt = carry
+        yb_t = kernels._slice_cloud(c2_t, c * chunk, chunk)
+        yb = kernels._slice_cloud(c2_pad, c * chunk, chunk)
+        a = kernels.kernel_block(params, ell, c1_t, yb_t)
+        rs = rs + jnp.sum(a, axis=1)
+        ah2 = ah2 + a @ _homog(yb.xyz)
+        cs = cs.at[c].set(jnp.sum(a, axis=0))
+        cnt = cnt + jnp.sum(a > 0)
+        return rs, ah2, cs, cnt
+
+    init = (
+        jnp.zeros((N,), jnp.float32),
+        jnp.zeros((N, 4), jnp.float32),
+        jnp.zeros((nchunks, chunk), jnp.float32),
+        jnp.zeros((), jnp.int32),
+    )
+    row_sum, a_h2, col_chunks, cnt = lax.fori_loop(0, nchunks, body, init)
+    col_sum = col_chunks.reshape(M)
+    h2 = _homog(c2_pad.xyz)
+    P12 = h1.T @ a_h2
+    P11 = (h1 * row_sum[:, None]).T @ h1
+    P22 = (h2 * col_sum[:, None]).T @ h2
+    return EdgeMoments(P11, P12, P22, cnt)
+
+
+def _skew(v):
+    return lie.skew(v)
+
+
+def _cross_from(M):
+    """vee of the antisymmetric part: sum_pairs w (q1 x q2) from M = sum w q1 q2^T."""
+    return jnp.stack(
+        [M[..., 1, 2] - M[..., 2, 1],
+         M[..., 2, 0] - M[..., 0, 2],
+         M[..., 0, 1] - M[..., 1, 0]],
+        axis=-1,
+    )
+
+
+def _edge_blocks(P11, P12, P22, T1, T2):
+    """Per-edge GN blocks under left-multiplicative updates T <- exp(xi) T.
+
+    With q1 = T1 h1, q2 = T2 h2, residual r = q1 - q2 and jacobians
+    J1 = [-q1^x I], J2 = -[-q2^x I], all weighted pair sums reduce to
+    contractions of Mt_ab = T_a P_ab T_b^T (3x3), m_a = T_a P12 e4-type
+    vectors, and S = P12[3,3].
+    """
+    M11 = T1 @ P11 @ T1.T                    # sum w q1 q1^T
+    M12 = T1 @ P12 @ T2.T                    # sum w q1 q2^T
+    M22 = T2 @ P22 @ T2.T
+    m1 = T1 @ P12[:, 3]                      # sum w q1  (pair-summed)
+    m2 = T2 @ P12[3, :]                      # sum w q2
+    S = P12[3, 3]
+    I3 = jnp.eye(3, dtype=P11.dtype)
+
+    def hat(v):
+        return _skew(v)
+
+    H_aa = jnp.block(
+        [[jnp.trace(M11) * I3 - M11, hat(m1)], [-hat(m1), S * I3]]
+    )
+    H_bb = jnp.block(
+        [[jnp.trace(M22) * I3 - M22, hat(m2)], [-hat(m2), S * I3]]
+    )
+    H_ab = jnp.block(
+        [[M12.T - jnp.trace(M12) * I3, -hat(m1)], [hat(m2), -S * I3]]
+    )
+    cr = _cross_from(M12)
+    b_a = jnp.concatenate([-cr, m1 - m2])
+    b_b = -b_a
+    cost = jnp.trace(M11) - 2.0 * jnp.trace(M12) + jnp.trace(M22)
+    return H_aa, H_bb, H_ab, b_a, b_b, cost
+
+
+def _assemble_and_solve(poses, edge_i, edge_j, moments: EdgeMoments,
+                        edge_active, pivot_mask, damping):
+    """One GN iteration: build the 6F x 6F system from edge blocks, fix the
+    gauge at pivot frames, Cholesky-solve, left-update the poses."""
+    F = poses.shape[0]
+    T1 = poses[edge_i]                       # [E,3,4]
+    T2 = poses[edge_j]
+    blocks = jax.vmap(_edge_blocks)(moments.P11, moments.P12, moments.P22, T1, T2)
+    H_aa, H_bb, H_ab, b_a, b_b, costs = blocks
+    w = edge_active.astype(poses.dtype)
+    H_aa = H_aa * w[:, None, None]
+    H_bb = H_bb * w[:, None, None]
+    H_ab = H_ab * w[:, None, None]
+    b_a = b_a * w[:, None]
+    b_b = b_b * w[:, None]
+
+    H = jnp.zeros((F, 6, F, 6), poses.dtype)
+    H = H.at[edge_i, :, edge_i, :].add(H_aa)
+    H = H.at[edge_j, :, edge_j, :].add(H_bb)
+    H = H.at[edge_i, :, edge_j, :].add(H_ab)
+    H = H.at[edge_j, :, edge_i, :].add(jnp.swapaxes(H_ab, -1, -2))
+    b = jnp.zeros((F, 6), poses.dtype)
+    b = b.at[edge_i].add(b_a)
+    b = b.at[edge_j].add(b_b)
+
+    free = 1.0 - pivot_mask.astype(poses.dtype)          # [F]
+    free6 = jnp.repeat(free, 6)
+    Hd = H.reshape(6 * F, 6 * F)
+    # gauge fix: zero pivot rows/cols, unit diagonal there (delta_pivot = 0)
+    Hd = Hd * free6[:, None] * free6[None, :]
+    Hd = Hd + jnp.diag(jnp.where(free6 > 0, damping, 1.0))
+    bd = b.reshape(6 * F) * free6
+
+    delta = jnp.linalg.solve(Hd, -bd).reshape(F, 6)
+    delta = delta * free[:, None]
+
+    dR, dt = lie.se3_exp(delta, 1.0)                     # [F,3,3], [F,3]
+    R_new = dR @ poses[:, :, :3]
+    t_new = jnp.einsum("fij,fj->fi", dR, poses[:, :, 3]) + dt
+    poses_new = jnp.concatenate([R_new, t_new[:, :, None]], axis=-1)
+    total_cost = jnp.sum(costs * w)
+    return poses_new, total_cost, jnp.linalg.norm(delta)
+
+
+def make_irls_kernels(params: CvoParams, chunk: int = 1024):
+    """Jitted (moments, gn_iterations) closures for a fixed params object."""
+
+    @functools.partial(jax.jit, static_argnames=())
+    def moments_fn(clouds: PointCloud, poses, edge_i, edge_j, ell):
+        def one(ei, ej):
+            c1 = jax.tree.map(lambda a: a[ei] if a is not None else None, clouds)
+            c2 = jax.tree.map(lambda a: a[ej] if a is not None else None, clouds)
+            return _edge_moments_single(params, ell, c1, c2, poses[ei], poses[ej], chunk)
+
+        return jax.vmap(one)(edge_i, edge_j)
+
+    @functools.partial(jax.jit, static_argnames=("n_iters",))
+    def gn_fn(poses, edge_i, edge_j, moments, edge_active, pivot_mask,
+              n_iters: int, damping=1e-6):
+        def body(carry, _):
+            poses, _, _ = carry
+            poses_new, cost, dnorm = _assemble_and_solve(
+                poses, edge_i, edge_j, moments, edge_active, pivot_mask, damping
+            )
+            return (poses_new, cost, dnorm), None
+
+        (poses, cost, dnorm), _ = lax.scan(
+            body, (poses, jnp.zeros((), poses.dtype), jnp.zeros((), poses.dtype)),
+            None, length=n_iters,
+        )
+        return poses, cost, dnorm
+
+    return moments_fn, gn_fn
+
+
+def irls_solve(
+    clouds: PointCloud,
+    init_poses: np.ndarray,
+    edges: Sequence[Tuple[int, int]],
+    pivot_flags: Sequence[bool],
+    params: CvoParams,
+    chunk: int = 1024,
+    log=lambda *a: None,
+):
+    """Host-driven outer IRLS loop (the CvoBatchIRLS::solve twin).
+
+    clouds: stacked PointCloud pytree with leading frame axis [F, N, ...].
+    init_poses: [F,3,4] float32 row-major (CvoFrame::pose_vec layout).
+    Returns (poses [F,3,4], history list).
+    """
+    moments_fn, gn_fn = make_irls_kernels(params, chunk)
+    poses = jnp.asarray(init_poses, jnp.float32)
+    edge_i = jnp.asarray([e[0] for e in edges], jnp.int32)
+    edge_j = jnp.asarray([e[1] for e in edges], jnp.int32)
+    pivot_mask = jnp.asarray(np.asarray(pivot_flags, np.float32))
+
+    ell = params.multiframe_ell_init
+    last_nonzeros = 0
+    history = []
+    iter_ = 0
+    while True:
+        mom = moments_fn(clouds, poses, edge_i, edge_j, jnp.float32(ell))
+        nz = np.asarray(mom.nonzeros)
+        edge_active = jnp.asarray(nz > params.multiframe_min_nonzeros)
+        total_nonzeros = int(nz.sum())
+        log(f"iter {iter_}: ell={ell:.4f} nonzeros={total_nonzeros} "
+            f"active_edges={int(np.asarray(edge_active).sum())}/{len(edges)}")
+        if int(np.asarray(edge_active).sum()) == 0 or iter_ >= params.multiframe_max_iters:
+            break
+        if total_nonzeros > last_nonzeros or iter_ < params.multiframe_iterations_per_ell:
+            last_nonzeros = total_nonzeros
+            poses, cost, dnorm = gn_fn(
+                poses, edge_i, edge_j, mom, edge_active, pivot_mask,
+                params.multiframe_iterations_per_solve,
+            )
+            history.append(
+                {"iter": iter_, "ell": ell, "nonzeros": total_nonzeros,
+                 "cost": float(cost), "delta": float(dnorm)}
+            )
+            log(f"  solved: cost={float(cost):.6f} |delta|={float(dnorm):.2e}")
+        else:
+            if ell >= params.multiframe_ell_min:
+                last_nonzeros = 0
+                ell = ell * params.multiframe_ell_decay_rate
+                log(f"  reduce ell to {ell:.4f}")
+            else:
+                break
+        iter_ += 1
+    return np.asarray(poses), history
+
+
+def stack_clouds(clouds: List[PointCloud]) -> PointCloud:
+    """Pad a list of clouds to a common capacity and stack on a frame axis."""
+    cap = max(c.capacity for c in clouds)
+    clouds = [kernels.pad_cloud_to_multiple(c, cap) for c in clouds]
+
+    def cat(*xs):
+        if any(x is None for x in xs):
+            return None
+        return jnp.stack(xs)
+
+    return jax.tree.map(cat, *clouds, is_leaf=lambda x: x is None)
