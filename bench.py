@@ -91,6 +91,7 @@ def main():
     init_guess = np.asarray(lie.rt_to_mat44(Rg, tg))
 
     chunk = int(os.environ.get("BENCH_CHUNK", 4096))
+    backend = os.environ.get("BENCH_BACKEND", "pallas")
     # Hard iteration cap: an unbounded while_loop dispatched to the TPU
     # cannot be cancelled and would hold the chip for minutes.
     max_iter = int(os.environ.get("BENCH_MAX_ITER", 1500))
@@ -98,7 +99,7 @@ def main():
     def run():
         T, ret, info = align(
             src, tgt, jnp.asarray(init_guess), params, chunk=chunk,
-            max_iter=max_iter,
+            max_iter=max_iter, backend=backend,
         )
         jax.block_until_ready(T)
         return np.asarray(T), int(ret), info

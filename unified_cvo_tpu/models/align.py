@@ -63,8 +63,25 @@ class _Carry(NamedTuple):
     history: Optional[dict]
 
 
+def _stats_fns(backend: str, chunk: int):
+    """(flow_stats, step_coeffs) for the chosen compute backend."""
+    if backend == "jnp":
+        flow = lambda p, ell, x, y: kernels.flow_stats(p, ell, x, y, chunk)
+        step = lambda p, ell, x, y, tw: kernels.step_coeffs(p, ell, x, y, tw, chunk)
+        return flow, step
+    from unified_cvo_tpu.ops import pallas_kernels as pk
+
+    interp = backend == "pallas_interpret"
+    flow = lambda p, ell, x, y: pk.flow_stats_pallas(p, ell, x, y, interpret=interp)
+    step = lambda p, ell, x, y, tw: pk.step_coeffs_pallas(
+        p, ell, x, y, tw, interpret=interp
+    )
+    return flow, step
+
+
 @functools.partial(
-    jax.jit, static_argnames=("params", "record_history", "chunk", "max_iter")
+    jax.jit,
+    static_argnames=("params", "record_history", "chunk", "max_iter", "backend"),
 )
 def align(
     source: PointCloud,
@@ -74,13 +91,18 @@ def align(
     record_history: bool = False,
     chunk: int = kernels.DEFAULT_CHUNK,
     max_iter: Optional[int] = None,
+    backend: str = "jnp",
 ):
     """Register target onto source. Returns (transform[4,4], ret, AlignInfo).
 
     `init_guess` is in the same frame convention as CvoGPU::align's
     init_guess_transform argument (callers typically pass the inverse of the
     source->target prior; see main_cvo_gpu_align_two_color_pcd.cpp:71-82).
+
+    backend: 'jnp' (blocked XLA passes), 'pallas' (fused TPU kernels), or
+    'pallas_interpret' (Pallas interpreter, for CPU validation).
     """
+    flow_fn, step_fn = _stats_fns(backend, chunk)
     f32 = jnp.float32
     max_iter = params.MAX_ITER if max_iter is None else max_iter
     R0 = jnp.asarray(init_guess[:3, :3], f32)
@@ -104,9 +126,9 @@ def align(
         Rinv, Tinv = lie.invert_rt(c.R, c.T)
         y_t = target.transformed(Rinv, Tinv)
 
-        stats = kernels.flow_stats(params, c.ell, source, y_t, chunk)
+        stats = flow_fn(params, c.ell, source, y_t)
         twist, joint_norm = kernels.flow_from_stats(params, source, stats)
-        B, C, D, E = kernels.step_coeffs(params, c.ell, source, y_t, twist, chunk)
+        B, C, D, E = step_fn(params, c.ell, source, y_t, twist)
         step = step_from_poly(B, C, D, E, params.min_step, params.max_step)
 
         # degenerate-flow break (reference CvoGPU.cu:1452-1458). The eps test

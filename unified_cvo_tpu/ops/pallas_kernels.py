@@ -1,0 +1,438 @@
+"""Fused Pallas TPU kernels for the pairwise RKHS registration hot path.
+
+Replaces the blocked-jnp streaming passes in ops/kernels.py with two fused
+Mosaic kernels over a (source-tile x target-tile) grid:
+
+  pass 1 (flow):  A tile -> row sums s_i, row matmul w_i = sum_j A_ij y_j,
+                  nonzero count, A sum  (reference fill_in_A_mat_gpu +
+                  compute_flow_gpu_no_eigen, CvoGPU.cu:477-593, 729-848)
+  pass 2 (step):  A tile recompute -> quartic Taylor coefficient partials
+                  B,C,D,E (reference compute_step_size_*, CvoGPU.cu:953-1082)
+
+Data layout is TPU-first: the source cloud is packed row-major [N, Dx]
+(points on sublanes), the target cloud is packed *transposed* [Dy, M]
+(points on lanes), so per-pair coordinate differences broadcast as
+[TI,1] - [1,TJ] with no in-kernel transposes, and every feature/semantic
+distance and flow-derivative dot product is an MXU matmul
+x_block @ yT_block. The kernel matrix A lives only in VMEM.
+
+All tiles accumulate into per-source-row outputs across the j grid axis
+(j innermost; Pallas keeps the output block resident between consecutive
+steps with the same index), with (1,1) per-tile scalar outputs reduced by
+the caller.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from unified_cvo_tpu.ops import kernels as jnp_kernels
+from unified_cvo_tpu.ops import lie
+from unified_cvo_tpu.utils.pointcloud import PointCloud
+
+DEFAULT_TILE_I = 256
+DEFAULT_TILE_J = 512
+
+
+@dataclasses.dataclass(frozen=True)
+class PackLayout:
+    """Row/column offsets inside the packed x [N,Dx] / yT [Dy,M] matrices."""
+
+    feature_dim: int
+    num_classes: int
+    use_geometry: bool
+    use_intensity: bool
+    use_semantics: bool
+    use_geo_type: bool
+    use_range_ell_step: bool
+
+    # x columns
+    @property
+    def x_xyz(self):
+        return 0
+
+    @property
+    def x_mask(self):
+        return 3
+
+    @property
+    def x_twol2(self):  # 2*l_i^2 (range-scaled geometric lengthscale)
+        return 4
+
+    @property
+    def x_d2thres(self):
+        return 5
+
+    @property
+    def x_coef(self):  # 1/(2*temp_ell^2) for the step pass
+        return 6
+
+    @property
+    def x_feat(self):
+        return 7
+
+    @property
+    def x_featsq(self):  # |f|^2
+        return 7 + self.feature_dim
+
+    @property
+    def x_label(self):
+        return 8 + self.feature_dim
+
+    @property
+    def x_labelsq(self):
+        return 8 + self.feature_dim + self.num_classes
+
+    @property
+    def x_geo(self):
+        return 9 + self.feature_dim + self.num_classes
+
+    @property
+    def x_geon2(self):  # |g|^2
+        return 11 + self.feature_dim + self.num_classes
+
+    @property
+    def x_dim(self):
+        return 12 + self.feature_dim + self.num_classes
+
+    # yT rows (same ordering, minus the x-only scalar columns)
+    @property
+    def y_xyz(self):
+        return 0
+
+    @property
+    def y_mask(self):
+        return 3
+
+    @property
+    def y_feat(self):
+        return 4
+
+    @property
+    def y_featsq(self):
+        return 4 + self.feature_dim
+
+    @property
+    def y_label(self):
+        return 5 + self.feature_dim
+
+    @property
+    def y_labelsq(self):
+        return 5 + self.feature_dim + self.num_classes
+
+    @property
+    def y_geo(self):
+        return 6 + self.feature_dim + self.num_classes
+
+    @property
+    def y_geon2(self):
+        return 8 + self.feature_dim + self.num_classes
+
+    # flow-derivative rows (step pass only)
+    @property
+    def y_xiz(self):
+        return 9 + self.feature_dim + self.num_classes
+
+    @property
+    def y_scalars(self):  # normxiz2, xdx2, epsil_const
+        return 21 + self.feature_dim + self.num_classes
+
+    @property
+    def y_dim_flow(self):
+        return 9 + self.feature_dim + self.num_classes
+
+    @property
+    def y_dim_step(self):
+        return 24 + self.feature_dim + self.num_classes
+
+
+def layout_for(params, x: PointCloud) -> PackLayout:
+    return PackLayout(
+        feature_dim=x.feature_dim if params.is_using_intensity else 0,
+        num_classes=x.num_classes if params.is_using_semantics else 0,
+        use_geometry=bool(params.is_using_geometry),
+        use_intensity=bool(params.is_using_intensity),
+        use_semantics=bool(params.is_using_semantics),
+        use_geo_type=bool(params.is_using_geometric_type),
+        use_range_ell_step=bool(params.is_using_range_ell),
+    )
+
+
+def pack_x(params, lo: PackLayout, x: PointCloud, ell):
+    """[N, Dx] packed source matrix (per-i scalars precomputed)."""
+    N = x.capacity
+    cols = [x.xyz, x.mask[:, None]]
+    rng = jnp_kernels.range_ell(ell, jnp.linalg.norm(x.xyz, axis=-1))
+    two_l2 = 2.0 * rng * rng
+    sigma2 = jnp.float32(params.sigma) ** 2
+    d2_thres = -two_l2 * jnp.log(jnp.float32(params.sp_thres) / sigma2)
+    step_l = rng if lo.use_range_ell_step else jnp.full((N,), ell, jnp.float32)
+    coef = 1.0 / (2.0 * step_l * step_l)
+    cols += [two_l2[:, None], d2_thres[:, None], coef[:, None]]
+    if lo.use_intensity:
+        cols += [x.features, jnp.sum(x.features**2, -1, keepdims=True)]
+    else:
+        cols += [jnp.zeros((N, 0), jnp.float32), jnp.zeros((N, 1), jnp.float32)]
+    if lo.use_semantics:
+        cols += [x.labels, jnp.sum(x.labels**2, -1, keepdims=True)]
+    else:
+        cols += [jnp.zeros((N, 0), jnp.float32), jnp.zeros((N, 1), jnp.float32)]
+    g = x.geometric_types if x.geometric_types is not None else jnp.zeros((N, 2), jnp.float32)
+    cols += [g, jnp.sum(g**2, -1, keepdims=True)]
+    return jnp.concatenate(cols, axis=1)
+
+
+def pack_y(lo: PackLayout, y: PointCloud, twist: Optional[jax.Array] = None):
+    """[Dy, M] packed transposed target matrix; with `twist`, the flow
+    derivative rows xiz..xi4z and per-j scalars are appended (step pass)."""
+    M = y.capacity
+    rows = [y.xyz.T, y.mask[None, :]]
+    if lo.use_intensity:
+        rows += [y.features.T, jnp.sum(y.features**2, -1)[None, :]]
+    else:
+        rows += [jnp.zeros((0, M), jnp.float32), jnp.zeros((1, M), jnp.float32)]
+    if lo.use_semantics:
+        rows += [y.labels.T, jnp.sum(y.labels**2, -1)[None, :]]
+    else:
+        rows += [jnp.zeros((0, M), jnp.float32), jnp.zeros((1, M), jnp.float32)]
+    g = y.geometric_types if y.geometric_types is not None else jnp.zeros((M, 2), jnp.float32)
+    rows += [g.T, jnp.sum(g**2, -1)[None, :]]
+    if twist is not None:
+        omega, v = twist[:3], twist[3:]
+        W = lie.skew(omega)
+        W2, W3 = W @ W, W @ W @ W
+        W4 = W2 @ W2
+        yy = y.xyz
+        xiz = yy @ W.T + v
+        xi2z = yy @ W2.T + W @ v
+        xi3z = yy @ W3.T + W2 @ v
+        xi4z = yy @ W4.T + W3 @ v
+        normxiz2 = jnp.sum(xiz * xiz, -1)
+        xdx2 = -jnp.sum(xiz * xi2z, -1)
+        epsc = jnp.sum(xi2z * xi2z, -1) + 2.0 * jnp.sum(xiz * xi3z, -1)
+        rows += [xiz.T, xi2z.T, xi3z.T, xi4z.T,
+                 normxiz2[None, :], xdx2[None, :], epsc[None, :]]
+    return jnp.concatenate(rows, axis=0)
+
+
+def _a_block(params, lo: PackLayout, x, yT):
+    """Kernel-matrix tile from packed blocks (fill_in_A_mat_gpu semantics)."""
+    f32 = jnp.float32
+    TI = x.shape[0]
+    TJ = yT.shape[1]
+    sp = f32(params.sp_thres)
+    a = None
+    ok = (x[:, lo.x_mask : lo.x_mask + 1] > 0) & (yT[lo.y_mask : lo.y_mask + 1, :] > 0)
+
+    if lo.use_geo_type:
+        dot = jax.lax.dot_general(
+            x[:, lo.x_geo : lo.x_geo + 2], yT[lo.y_geo : lo.y_geo + 2, :],
+            (((1,), (0,)), ((), ())), preferred_element_type=f32,
+        )
+        n2 = (x[:, lo.x_geon2 : lo.x_geon2 + 1] *
+              yT[lo.y_geon2 : lo.y_geon2 + 1, :])
+        geo = dot * dot / jnp.maximum(n2, 1e-12)
+        ok &= geo >= 0.01
+        a = geo
+
+    if lo.use_geometry:
+        sigma2 = f32(params.sigma) ** 2
+        d2 = jnp.zeros((TI, TJ), f32)
+        for c in range(3):
+            diff = x[:, lo.x_xyz + c : lo.x_xyz + c + 1] - yT[lo.y_xyz + c : lo.y_xyz + c + 1, :]
+            d2 = d2 + diff * diff
+        two_l2 = x[:, lo.x_twol2 : lo.x_twol2 + 1]
+        ok &= d2 < x[:, lo.x_d2thres : lo.x_d2thres + 1]
+        k = sigma2 * jnp.exp(-d2 / two_l2)
+        a = k if a is None else a * k
+
+    if lo.use_intensity:
+        F = lo.feature_dim
+        c_ell2 = f32(params.c_ell) ** 2
+        c_sigma2 = f32(params.c_sigma) ** 2
+        cross = jax.lax.dot_general(
+            x[:, lo.x_feat : lo.x_feat + F], yT[lo.y_feat : lo.y_feat + F, :],
+            (((1,), (0,)), ((), ())), preferred_element_type=f32,
+        )
+        d2c = (x[:, lo.x_featsq : lo.x_featsq + 1]
+               + yT[lo.y_featsq : lo.y_featsq + 1, :] - 2.0 * cross)
+        d2c = jnp.maximum(d2c, 0.0)
+        ok &= d2c < -2.0 * c_ell2 * jnp.log(sp / c_sigma2)
+        ck = c_sigma2 * jnp.exp(-d2c / (2.0 * c_ell2))
+        a = ck if a is None else a * ck
+
+    if lo.use_semantics:
+        C = lo.num_classes
+        s_ell2 = f32(params.s_ell) ** 2
+        s_sigma2 = f32(params.s_sigma) ** 2
+        cross = jax.lax.dot_general(
+            x[:, lo.x_label : lo.x_label + C], yT[lo.y_label : lo.y_label + C, :],
+            (((1,), (0,)), ((), ())), preferred_element_type=f32,
+        )
+        d2s = (x[:, lo.x_labelsq : lo.x_labelsq + 1]
+               + yT[lo.y_labelsq : lo.y_labelsq + 1, :] - 2.0 * cross)
+        d2s = jnp.maximum(d2s, 0.0)
+        ok &= d2s < -2.0 * s_ell2 * jnp.log(sp / s_sigma2)
+        sk = s_sigma2 * jnp.exp(-d2s / (2.0 * s_ell2))
+        a = sk if a is None else a * sk
+
+    if a is None:
+        a = jnp.ones((TI, TJ), f32)
+    return jnp.where(ok & (a > sp), a, 0.0)
+
+
+def _flow_kernel(params, lo: PackLayout, x_ref, y_ref, s_ref, wy_ref, cnt_ref):
+    j = pl.program_id(1)
+    x = x_ref[:]
+    yT = y_ref[:]
+    a = _a_block(params, lo, x, yT)
+    partial_s = jnp.sum(a, axis=1, keepdims=True)
+    partial_cnt = jnp.sum((a > 0).astype(jnp.float32), axis=1, keepdims=True)
+    partial_wy = jax.lax.dot_general(
+        a, yT[lo.y_xyz : lo.y_xyz + 3, :], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == 0)
+    def _():
+        s_ref[:] = partial_s
+        wy_ref[:] = partial_wy
+        cnt_ref[:] = partial_cnt
+
+    @pl.when(j > 0)
+    def _():
+        s_ref[:] = s_ref[:] + partial_s
+        wy_ref[:] = wy_ref[:] + partial_wy
+        cnt_ref[:] = cnt_ref[:] + partial_cnt
+
+
+def _step_kernel(params, lo: PackLayout, x_ref, y_ref,
+                 b_ref, c_ref, d_ref, e_ref):
+    x = x_ref[:]
+    yT = y_ref[:]
+    a = _a_block(params, lo, x, yT)
+    f32 = jnp.float32
+
+    def dots(k):
+        """x . xi{k}z - y_j . xi{k}z  (per-pair dot with d_ij = x_i - y_j)."""
+        rows = yT[lo.y_xiz + 3 * k : lo.y_xiz + 3 * k + 3, :]
+        xdot = jax.lax.dot_general(
+            x[:, lo.x_xyz : lo.x_xyz + 3], rows, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        ydot = jnp.sum(rows * yT[lo.y_xyz : lo.y_xyz + 3, :], axis=0, keepdims=True)
+        return xdot - ydot
+
+    coef = x[:, lo.x_coef : lo.x_coef + 1]
+    d1, d2_, d3, d4 = dots(0), dots(1), dots(2), dots(3)
+    normxiz2 = yT[lo.y_scalars : lo.y_scalars + 1, :]
+    xdx2 = yT[lo.y_scalars + 1 : lo.y_scalars + 2, :]
+    epsc = yT[lo.y_scalars + 2 : lo.y_scalars + 3, :]
+    beta = -2.0 * coef * d1
+    gamma = -coef * (normxiz2 + 2.0 * d2_)
+    delta = 2.0 * coef * (xdx2 - d3)
+    epsil = -coef * (epsc + 2.0 * d4)
+    b2 = beta * beta
+    j = pl.program_id(1)
+    pb = jnp.sum(a * beta, axis=1, keepdims=True)
+    pc = jnp.sum(a * (gamma + 0.5 * b2), axis=1, keepdims=True)
+    pd = jnp.sum(a * (delta + beta * gamma + b2 * beta / 6.0), axis=1, keepdims=True)
+    pe = jnp.sum(
+        a * (epsil + beta * delta + 0.5 * b2 * gamma + 0.5 * gamma * gamma
+             + b2 * b2 / 24.0),
+        axis=1, keepdims=True,
+    )
+
+    @pl.when(j == 0)
+    def _():
+        b_ref[:] = pb
+        c_ref[:] = pc
+        d_ref[:] = pd
+        e_ref[:] = pe
+
+    @pl.when(j > 0)
+    def _():
+        b_ref[:] = b_ref[:] + pb
+        c_ref[:] = c_ref[:] + pc
+        d_ref[:] = d_ref[:] + pd
+        e_ref[:] = e_ref[:] + pe
+
+
+def _grid_specs(lo, N, M, TI, TJ, y_dim, n_row_outputs):
+    grid = (N // TI, M // TJ)
+    in_specs = [
+        pl.BlockSpec((TI, lo.x_dim), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((y_dim, TJ), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+    ]
+    return grid, in_specs
+
+
+def flow_stats_pallas(params, ell, x: PointCloud, y_t: PointCloud,
+                      tile_i: int = DEFAULT_TILE_I, tile_j: int = DEFAULT_TILE_J,
+                      interpret: bool = False) -> jnp_kernels.FlowStats:
+    lo = layout_for(params, x)
+    n_orig = x.capacity
+    x = jnp_kernels.pad_cloud_to_multiple(x, tile_i)
+    y_t = jnp_kernels.pad_cloud_to_multiple(y_t, tile_j)
+    N, M = x.capacity, y_t.capacity
+    xp = pack_x(params, lo, x, jnp.asarray(ell, jnp.float32))
+    yp = pack_y(lo, y_t)
+    grid, in_specs = _grid_specs(lo, N, M, tile_i, tile_j, lo.y_dim_flow, 2)
+    nI, nJ = grid
+    out = pl.pallas_call(
+        functools.partial(_flow_kernel, params, lo),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, 1), jnp.float32),
+            jax.ShapeDtypeStruct((N, 3), jnp.float32),
+            jax.ShapeDtypeStruct((N, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xp, yp)
+    s, wy, cnt = out
+    return jnp_kernels.FlowStats(
+        row_sum=s[:n_orig, 0],
+        row_wy=wy[:n_orig],
+        nonzeros=jnp.sum(cnt).astype(jnp.int32),
+        a_sum=jnp.sum(s),
+    )
+
+
+def step_coeffs_pallas(params, ell, x: PointCloud, y_t: PointCloud, twist,
+                       tile_i: int = DEFAULT_TILE_I, tile_j: int = DEFAULT_TILE_J,
+                       interpret: bool = False):
+    lo = layout_for(params, x)
+    x = jnp_kernels.pad_cloud_to_multiple(x, tile_i)
+    y_t = jnp_kernels.pad_cloud_to_multiple(y_t, tile_j)
+    N, M = x.capacity, y_t.capacity
+    xp = pack_x(params, lo, x, jnp.asarray(ell, jnp.float32))
+    yp = pack_y(lo, y_t, twist=jnp.asarray(twist, jnp.float32))
+    grid, in_specs = _grid_specs(lo, N, M, tile_i, tile_j, lo.y_dim_step, 0)
+    nI, nJ = grid
+    outs = pl.pallas_call(
+        functools.partial(_step_kernel, params, lo),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ],
+        out_shape=[jax.ShapeDtypeStruct((N, 1), jnp.float32) for _ in range(4)],
+        interpret=interpret,
+    )(xp, yp)
+    B, C, D, E = (jnp.sum(o) for o in outs)
+    return B, C, D, E
