@@ -1,0 +1,118 @@
+"""Pose-graph GN and BKI mapping tests."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from unified_cvo_tpu.models.bki import SemanticBKIMap, sparse_kernel
+from unified_cvo_tpu.models.keyframe import Keyframe
+from unified_cvo_tpu.models.posegraph import (
+    PoseGraph,
+    PoseGraphConfig,
+    RelativePose,
+    optimize_pose_graph,
+)
+from unified_cvo_tpu.ops import lie
+from unified_cvo_tpu.utils.pointcloud import make_pointcloud
+
+
+def _rand_se3(rng, scale=0.3):
+    xi = scale * rng.normal(size=6).astype(np.float32)
+    R, t = (np.asarray(v) for v in lie.se3_exp(jnp.asarray(xi), 1.0))
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = t
+    return T
+
+
+def test_pose_graph_gn_closes_loop(rng):
+    """Chain of noisy odometry factors + one loop closure: GN must reduce
+    the loop-closure residual (the GTSAM-replacement sanity check)."""
+    F = 6
+    true = [np.eye(4)]
+    for _ in range(F - 1):
+        true.append(true[-1] @ _rand_se3(rng, 0.4))
+    # noisy odometry measurements
+    Zs, fi, fj = [], [], []
+    for k in range(F - 1):
+        Z = np.linalg.inv(true[k]) @ true[k + 1] @ _rand_se3(rng, 0.02)
+        Zs.append(Z)
+        fi.append(k)
+        fj.append(k + 1)
+    # exact loop closure 0 -> F-1
+    Zs.append(np.linalg.inv(true[0]) @ true[F - 1])
+    fi.append(0)
+    fj.append(F - 1)
+
+    # init poses by composing noisy odometry (drift)
+    init = [np.eye(4)]
+    for k in range(F - 1):
+        init.append(init[-1] @ Zs[k])
+    init = np.stack(init).astype(np.float32)
+    drift_before = np.linalg.norm(init[-1][:3, 3] - true[-1][:3, 3])
+
+    fixed = np.zeros(F, np.float32)
+    fixed[0] = 1.0
+    out, _ = optimize_pose_graph(
+        jnp.asarray(init), jnp.asarray(fi, jnp.int32), jnp.asarray(fj, jnp.int32),
+        jnp.asarray(np.stack(Zs), jnp.float32),
+        jnp.ones(len(Zs), jnp.float32), jnp.asarray(fixed), iters=10,
+    )
+    out = np.asarray(out)
+    drift_after = np.linalg.norm(out[-1][:3, 3] - true[-1][:3, 3])
+    assert drift_after < drift_before * 0.5 + 1e-3, (drift_before, drift_after)
+    np.testing.assert_allclose(out[0], np.eye(4), atol=1e-6)  # gauge held
+
+
+def test_online_pose_graph_keyframing():
+    pg = PoseGraph(PoseGraphConfig(keyframe_function_angle_threshold=0.6))
+    pg.add_first_frame(0)
+    T = np.eye(4)
+    T[0, 3] = 0.1
+    assert not pg.add_frame(1, T, function_angle=0.9)   # good tracking
+    assert pg.num_keyframes == 1
+    assert pg.add_frame(2, T, function_angle=0.3)       # tracking degraded
+    assert pg.num_keyframes == 2
+    assert len(pg.trajectory) == 3
+
+
+def test_sparse_kernel_shape():
+    d = np.array([0.0, 0.15, 0.3, 0.5])
+    k = sparse_kernel(d, ell=0.3, sigma0=1.0)
+    assert k[0] == pytest.approx(1.0)
+    assert k[0] > k[1] > k[2] >= 0
+    assert k[3] == 0.0
+
+
+def test_bki_map_occupancy_and_semantics():
+    m = SemanticBKIMap(resolution=0.1, num_classes=4, ell=0.2)
+    rng = np.random.default_rng(0)
+    # a wall at z=2 labeled class 2, sensor at origin
+    pts = np.stack(
+        [rng.uniform(-0.5, 0.5, 200), rng.uniform(-0.5, 0.5, 200),
+         np.full(200, 2.0)], 1,
+    )
+    labels = np.tile(np.eye(4)[1][None, :], (200, 1))  # class index 2 overall
+    m.insert_pointcloud(pts, labels, origin=np.zeros(3))
+    states, sems = m.query(np.array([[0, 0, 2.0], [0, 0, 1.0], [5, 5, 5]]))
+    assert states[0] == 1 and sems[0] == 2      # wall occupied, class 2
+    assert states[1] == -1                      # ray midpoint free
+    assert states[2] == 0                       # unseen
+
+
+def test_keyframe_local_map_roundtrip():
+    rng = np.random.default_rng(1)
+    xyz = rng.uniform(-1, 1, (100, 3)).astype(np.float32) + [0, 0, 3]
+    labels = np.tile(np.eye(5, dtype=np.float32)[3][None, :], (100, 1))
+    kf = Keyframe(0, make_pointcloud(xyz, labels=labels, bucket=64))
+    kf.construct_map(resolution=0.2, num_classes=5, ell=0.3)
+    exported = kf.export_points_from_map()
+    assert exported is not None
+    from unified_cvo_tpu.utils.pointcloud import to_numpy_valid
+
+    data = to_numpy_valid(exported)
+    assert len(data["xyz"]) > 10
+    # weakly-touched boundary voxels may stay prior-uniform; the bulk must
+    # carry the inserted class
+    assert (data["labels"].argmax(1) == 3).mean() > 0.9

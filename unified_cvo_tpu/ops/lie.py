@@ -1,18 +1,19 @@
-"""SO(3)/SE(3) Lie-group operations, branchless and jit-safe.
+"""SO(3)/SE(3) Lie-group operations, branchless, jit- and autodiff-safe.
 
 Re-derivation of the reference's Lie utilities
 (reference: src/cvo/LieGroup.cpp:203-283, include/UnifiedCvo/cvo/LieGroup.h:14-70)
-in functional JAX form. All small-angle branches use first/second-order Taylor
-expansions selected with `jnp.where` over *safe* denominators so that both
-branches are finite under jit (no NaN gradients), instead of the reference's
-`if (theta < TOLERANCE)` host branches.
+in functional JAX form. All small-angle branches use Taylor expansions
+selected with `jnp.where` over *guarded* operands: the guarded value is
+substituted BEFORE the singular op (sqrt at 0, arccos at 1) so that both the
+primal and the forward/reverse derivative are finite — the pose-graph GN
+differentiates through exp/log with jacfwd (models/posegraph.py).
 
 Conventions match the reference:
   * se(3) tangent vectors are ordered [omega(3), v(3)].
   * `se3_exp(xi, dt)` integrates the flow for time `dt`:
     R = exp(dt*w^), t = Jl(dt, w) @ v with Jl = dt*I + ((1-cos(dt*th))/th^2) w^
     + ((dt*th - sin(dt*th))/th^3) w^2   (reference LieGroup.cpp:245-275,
-    Exp_SEK3). Note Jl here is dt times the standard left Jacobian of dt*w.
+    Exp_SEK3). Jl here is dt times the standard left Jacobian of dt*w.
 """
 
 from __future__ import annotations
@@ -41,20 +42,23 @@ def unskew(M):
     return jnp.stack([M[..., 2, 1], M[..., 0, 2], M[..., 1, 0]], axis=-1)
 
 
+def _safe_theta(w):
+    """(theta, small) with theta's sqrt guarded for zero-angle autodiff."""
+    theta2 = jnp.sum(w * w, axis=-1)
+    small = theta2 < _EPS * _EPS
+    theta = jnp.sqrt(jnp.where(small, 1.0, theta2))
+    return jnp.where(small, 0.0, theta), theta2, small
+
+
 def so3_exp(w):
     """Rodrigues formula (reference LieGroup.cpp:203-213, Exp_SO3)."""
     w = jnp.asarray(w)
-    theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(theta2)
-    small = theta < _EPS
-    safe_theta = jnp.where(small, 1.0, theta)
+    theta, theta2, small = _safe_theta(w)
+    st = jnp.where(small, 1.0, theta)
     A = skew(w)
     A2 = A @ A
-    # sin(t)/t and (1-cos t)/t^2 with Taylor fallback.
-    k1 = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(safe_theta) / safe_theta)
-    k2 = jnp.where(
-        small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(safe_theta)) / (safe_theta * safe_theta)
-    )
+    k1 = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(st) / st)
+    k2 = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(st)) / (st * st))
     eye = jnp.eye(3, dtype=w.dtype)
     return eye + k1[..., None, None] * A + k2[..., None, None] * A2
 
@@ -64,28 +68,20 @@ def so3_log(R):
     R = jnp.asarray(R)
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
-    small = theta < _EPS
-    safe_sin = jnp.where(small, 1.0, jnp.sin(theta))
-    # w^ = theta/(2 sin(theta)) (R - R^T); Taylor: 0.5*(R - R^T)
-    coef = jnp.where(small, 0.5 + theta * theta / 12.0, theta / (2.0 * safe_sin))
+    small = cos_theta > 1.0 - _EPS
+    # guard arccos input away from 1 where the small branch is taken, so the
+    # derivative stays finite; the small branch is expressed in cos_theta
+    # directly (theta^2 ~ 2(1-cos)) with no singular op.
+    safe_cos = jnp.where(small, 0.0, cos_theta)
+    theta = jnp.arccos(safe_cos)
+    sin_theta = jnp.sin(theta)
+    coef = jnp.where(
+        small,
+        0.5 + (1.0 - cos_theta) / 6.0,
+        theta / jnp.where(small, 1.0, 2.0 * sin_theta),
+    )
     W = coef[..., None, None] * (R - jnp.swapaxes(R, -1, -2))
     return unskew(W)
-
-
-def _se3_jl_coeffs(theta, dt, dtype):
-    """Coefficients (a, b) so that Jl = dt*I + a*w^ + b*w^2.
-
-    a = (1 - cos(dt*theta))/theta^2,  b = (dt*theta - sin(dt*theta))/theta^3
-    with Taylor fallbacks for small theta (exactly the quantities in reference
-    LieGroup.cpp:258-263).
-    """
-    small = theta < _EPS
-    st = jnp.where(small, 1.0, theta)
-    dtt = dt * st
-    a = jnp.where(small, 0.5 * dt * dt, (1.0 - jnp.cos(dtt)) / (st * st))
-    b = jnp.where(small, dt**3 / 6.0, (dtt - jnp.sin(dtt)) / (st**3))
-    return a.astype(dtype), b.astype(dtype)
 
 
 def se3_exp(xi, dt=1.0):
@@ -96,17 +92,17 @@ def se3_exp(xi, dt=1.0):
     """
     xi = jnp.asarray(xi)
     w, v = xi[..., :3], xi[..., 3:6]
-    theta = jnp.linalg.norm(w, axis=-1)
-    small = theta < _EPS
+    theta, theta2, small = _safe_theta(w)
     st = jnp.where(small, 1.0, theta)
     dtt = dt * st
     A = skew(w)
     A2 = A @ A
-    k1 = jnp.where(small, dt * (1.0 - (dt * theta) ** 2 / 6.0), jnp.sin(dtt) / st)
+    k1 = jnp.where(small, dt * (1.0 - dt * dt * theta2 / 6.0), jnp.sin(dtt) / st)
     k2 = jnp.where(small, 0.5 * dt * dt, (1.0 - jnp.cos(dtt)) / (st * st))
     eye = jnp.eye(3, dtype=xi.dtype)
     R = eye + k1[..., None, None] * A + k2[..., None, None] * A2
-    a, b = _se3_jl_coeffs(theta, dt, xi.dtype)
+    a = jnp.where(small, 0.5 * dt * dt, (1.0 - jnp.cos(dtt)) / (st * st))
+    b = jnp.where(small, dt**3 / 6.0, (dtt - jnp.sin(dtt)) / (st**3))
     Jl = dt * eye + a[..., None, None] * A + b[..., None, None] * A2
     t = jnp.einsum("...ij,...j->...i", Jl, v)
     return R, t
@@ -115,15 +111,14 @@ def se3_exp(xi, dt=1.0):
 def left_jacobian_inv(w):
     """Inverse left Jacobian of SO(3), used by se3_log."""
     w = jnp.asarray(w)
-    theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(theta2)
-    small = theta < _EPS
+    theta, theta2, small = _safe_theta(w)
     st = jnp.where(small, 1.0, theta)
     half = st / 2.0
     cot_term = jnp.where(
         small,
         1.0 / 12.0 + theta2 / 720.0,
-        (1.0 - half * jnp.cos(half) / jnp.sin(half)) / (st * st),
+        (1.0 - half * jnp.cos(half) / jnp.where(small, 1.0, jnp.sin(half)))
+        / (st * st),
     )
     A = skew(w)
     eye = jnp.eye(3, dtype=w.dtype)
