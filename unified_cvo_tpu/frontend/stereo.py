@@ -11,20 +11,36 @@ depth = |baseline| * fx / disp, xyz = K^{-1} [u,v,1] * depth.
 
 from __future__ import annotations
 
-import cv2
+try:
+    import cv2
+except ImportError:  # the native SGM path covers cv2-less environments
+    cv2 = None
+
 import numpy as np
 
 from unified_cvo_tpu.frontend.calibration import Calibration
 
 
 def compute_disparity(left: np.ndarray, right: np.ndarray,
-                      max_disparity: int = 128) -> np.ndarray:
-    """Left-image disparity map [H,W] float32; invalid pixels <= 0."""
+                      max_disparity: int = 128,
+                      backend: str = "auto") -> np.ndarray:
+    """Left-image disparity map [H,W] float32; invalid pixels <= 0.
+
+    backend: 'opencv' (StereoSGBM, SIMD, fastest), 'native' (the C++
+    census/SGM library in native/, the libelas replacement — correct but
+    currently scalar), or 'auto' (OpenCV if importable, else native)."""
 
     def gray(im):
         return im if im.ndim == 2 else cv2.cvtColor(im, cv2.COLOR_BGR2GRAY)
 
     lg, rg = gray(left), gray(right)
+
+    if backend == "native" or (backend == "auto" and cv2 is None):
+        from unified_cvo_tpu import native
+
+        if native.available():
+            return native.sgm_disparity(lg, rg, max_disp=max_disparity)
+        raise RuntimeError("native backend requested but libcvo_native.so not built")
     block = 7
     sgbm = cv2.StereoSGBM_create(
         minDisparity=0,

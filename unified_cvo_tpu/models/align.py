@@ -81,7 +81,9 @@ def _stats_fns(backend: str, chunk: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("params", "record_history", "chunk", "max_iter", "backend"),
+    static_argnames=(
+        "params", "record_history", "chunk", "max_iter", "backend", "adaptive_ell"
+    ),
 )
 def align(
     source: PointCloud,
@@ -92,6 +94,7 @@ def align(
     chunk: int = kernels.DEFAULT_CHUNK,
     max_iter: Optional[int] = None,
     backend: str = "jnp",
+    adaptive_ell: Optional[bool] = None,
 ):
     """Register target onto source. Returns (transform[4,4], ret, AlignInfo).
 
@@ -101,7 +104,18 @@ def align(
 
     backend: 'jnp' (blocked XLA passes), 'pallas' (fused TPU kernels), or
     'pallas_interpret' (Pallas interpreter, for CPU validation).
+
+    adaptive_ell: ACVO mode (reference AdaptiveCvoGPU.cu, ENABLE_ACVO
+    variant) — instead of the indicator-window decay schedule, ell follows
+    its own gradient each iteration:
+      dl = (sum Axx d2 + sum Ayy d2 - 2 sum Axy d2) / ell^3
+           / (nz_xx + nz_yy - 2 nz_xy)
+      ell <- clip(ell - dl_step * dl, ell_min, ell_max)
+    (gradient assembly at AdaptiveCvoGPU.cu:612-712, 869-885; update at
+    :1198). Defaults to params.is_ell_adaptive.
     """
+    if adaptive_ell is None:
+        adaptive_ell = bool(params.is_ell_adaptive)
     flow_fn, step_fn = _stats_fns(backend, chunk)
     f32 = jnp.float32
     max_iter = params.MAX_ITER if max_iter is None else max_iter
@@ -153,12 +167,30 @@ def align(
         dist_break = dist < params.eps_2
 
         continuing = jnp.logical_not(break_now | nan_break | dist_break)
-        decay = (c.k > params.ell_decay_start) & decrease & continuing
-        ell_new = jnp.where(
-            decay,
-            jnp.maximum(c.ell * params.ell_decay_rate, params.ell_min),
-            c.ell,
-        )
+        if adaptive_ell:
+            s_xy = kernels.weighted_d2_sum(params, c.ell, source, y_t, chunk)
+            s_xx = kernels.weighted_d2_sum(params, c.ell, source, source, chunk)
+            s_yy = kernels.weighted_d2_sum(params, c.ell, y_t, y_t, chunk)
+            denom = (
+                s_xx[1] + s_yy[1] - 2 * stats.nonzeros
+            ).astype(f32)
+            dl = (s_xx[0] + s_yy[0] - 2.0 * s_xy[0]) / (c.ell**3) / jnp.where(
+                denom == 0, 1.0, denom
+            )
+            ell_new = jnp.where(
+                continuing,
+                jnp.clip(
+                    c.ell - params.dl_step * dl, params.ell_min, params.ell_max
+                ),
+                c.ell,
+            )
+        else:
+            decay = (c.k > params.ell_decay_start) & decrease & continuing
+            ell_new = jnp.where(
+                decay,
+                jnp.maximum(c.ell * params.ell_decay_rate, params.ell_min),
+                c.ell,
+            )
 
         keep_old_pose = break_now  # reference breaks before applying the update
         R_out = jnp.where(keep_old_pose, c.R, R_new)
@@ -281,6 +313,38 @@ def compute_association(
     y_t = target.transformed(Rinv, Tinv)
     vals, idx = kernels.association_topk(
         params, jnp.asarray(ell, jnp.float32), source, y_t, top_k, chunk
+    )
+    source_inliers = jnp.any(vals > 0, axis=1)
+    target_inliers = (
+        jnp.zeros((target.capacity,), bool)
+        .at[jnp.where(idx >= 0, idx, 0).reshape(-1)]
+        .max((vals > 0).reshape(-1))
+    )
+    return vals, idx, source_inliers, target_inliers
+
+
+@functools.partial(jax.jit, static_argnames=("params", "top_k", "chunk"))
+def compute_association_non_isotropic(
+    source: PointCloud,
+    target: PointCloud,
+    transform: jax.Array,
+    non_isotropic_kernel: jax.Array,
+    params: CvoParams,
+    top_k: int = 64,
+    chunk: int = kernels.DEFAULT_CHUNK,
+):
+    """Association under a 3x3 non-isotropic (Mahalanobis) kernel
+    (CvoGPU::compute_association_gpu kernel-matrix overload +
+    inner_product_non_isotropic_impl, CvoGPU.cu:1908-1995): the geometric
+    gate becomes exp(-d^T K^{-1} d / 2) and is_using_geometric_type is
+    forced off, as in the reference (:1950-1952)."""
+    params = params.replace(is_using_geometric_type=0)
+    R, T = lie.mat44_to_rt(jnp.asarray(transform, jnp.float32))
+    Rinv, Tinv = lie.invert_rt(R, T)
+    y_t = target.transformed(Rinv, Tinv)
+    kernel_inv = jnp.linalg.inv(jnp.asarray(non_isotropic_kernel, jnp.float32))
+    vals, idx = kernels.association_topk_dense(
+        params, kernel_inv, source, y_t, top_k, chunk
     )
     source_inliers = jnp.any(vals > 0, axis=1)
     target_inliers = (

@@ -150,6 +150,178 @@ def kernel_block(params, ell, x: PointCloud, yb: PointCloud):
     return jnp.where(ok & (a > sp), a, 0.0)
 
 
+def kernel_block_dense(params, kernel_inv, x: PointCloud, yb: PointCloud):
+    """Non-isotropic (Mahalanobis) kernel tile
+    (fill_in_A_mat_gpu_dense_mat_kernel, CvoGPU.cu:217-327):
+    k = sigma^2 exp(-(x-y)^T K^{-1} (x-y) / 2), no geometric distance gate;
+    color/semantic/geometric-type channels identical to the isotropic path."""
+    f32 = jnp.float32
+    xp, yp = x.xyz, yb.xyz
+    I, J = xp.shape[0], yp.shape[0]
+    a = jnp.ones((I, J), f32)
+    ok = (x.mask[:, None] > 0) & (yb.mask[None, :] > 0)
+    sp = f32(params.sp_thres)
+
+    if params.is_using_geometric_type:
+        xg, yg = x.geometric_types, yb.geometric_types
+        dot = xg @ yg.T
+        n2 = jnp.sum(xg * xg, -1)[:, None] * jnp.sum(yg * yg, -1)[None, :]
+        geo = dot * dot / jnp.maximum(n2, 1e-12)
+        ok &= geo >= 0.01
+        a = a * geo
+
+    if params.is_using_geometry:
+        sigma2 = f32(params.sigma) ** 2
+        K = jnp.asarray(kernel_inv, f32)
+        # d2 = sum_ab K[a,b] (x_a - y_a)(x_b - y_b), expanded into x/y terms
+        d2 = jnp.zeros((I, J), f32)
+        for p in range(3):
+            for q in range(3):
+                d2 = d2 + K[p, q] * (
+                    (xp[:, p : p + 1] - yp[None, :, p])
+                    * (xp[:, q : q + 1] - yp[None, :, q])
+                )
+        a = a * sigma2 * jnp.exp(-d2 / 2.0)
+
+    if params.is_using_intensity:
+        xf, yf = x.features, yb.features
+        c_ell2 = f32(params.c_ell) ** 2
+        c_sigma2 = f32(params.c_sigma) ** 2
+        d2c = jnp.maximum(
+            jnp.sum(xf * xf, -1)[:, None] + jnp.sum(yf * yf, -1)[None, :]
+            - 2.0 * (xf @ yf.T),
+            0.0,
+        )
+        ok &= d2c < -2.0 * c_ell2 * jnp.log(sp / c_sigma2)
+        a = a * c_sigma2 * jnp.exp(-d2c / (2.0 * c_ell2))
+
+    if params.is_using_semantics:
+        xl, yl = x.labels, yb.labels
+        s_ell2 = f32(params.s_ell) ** 2
+        s_sigma2 = f32(params.s_sigma) ** 2
+        d2s = jnp.maximum(
+            jnp.sum(xl * xl, -1)[:, None] + jnp.sum(yl * yl, -1)[None, :]
+            - 2.0 * (xl @ yl.T),
+            0.0,
+        )
+        ok &= d2s < -2.0 * s_ell2 * jnp.log(sp / s_sigma2)
+        a = a * s_sigma2 * jnp.exp(-d2s / (2.0 * s_ell2))
+
+    return jnp.where(ok & (a > sp), a, 0.0)
+
+
+def association_topk_dense(params, kernel_inv, x: PointCloud, y_t: PointCloud,
+                           k: int, chunk: int = DEFAULT_CHUNK):
+    """Top-k association under the non-isotropic kernel
+    (compute_association_gpu 3x3-kernel overload, CvoGPU.cu:1908-1995)."""
+    chunk = min(chunk, y_t.capacity)
+    y_t = pad_cloud_to_multiple(y_t, chunk)
+    M = y_t.capacity
+    nchunks = M // chunk
+    N = x.capacity
+
+    def body(c, carry):
+        vals, idx = carry
+        lo = c * chunk
+        yb = _slice_cloud(y_t, lo, chunk)
+        a = kernel_block_dense(params, kernel_inv, x, yb)
+        cols = lo + jax.lax.broadcasted_iota(jnp.int32, (N, chunk), 1)
+        cand_vals = jnp.concatenate([vals, a], axis=1)
+        cand_idx = jnp.concatenate([idx, cols], axis=1)
+        vals, sel = lax.top_k(cand_vals, k)
+        idx = jnp.take_along_axis(cand_idx, sel, axis=1)
+        return vals, idx
+
+    init = (jnp.zeros((N, k), jnp.float32), jnp.full((N, k), -1, jnp.int32))
+    vals, idx = lax.fori_loop(0, nchunks, body, init)
+    return vals, jnp.where(vals > 0, idx, -1)
+
+
+def least_square_flow(params, ell, x: PointCloud, y_t: PointCloud,
+                      chunk: int = DEFAULT_CHUNK, dist_gate: float = 0.2):
+    """Gauss-Newton 6x6 flow (the is_using_least_square alternative path,
+    fill_in_residual_and_jacobian + compute_flow_least_square,
+    CvoGPU.cu:851-951): weighted point-to-point residuals r = (x-y)/ell with
+    J = [-y^x I]/ell, pairs gated at ||x-y|| < dist_gate. Reduced via
+    kernel-weighted moments; returns (omega, v) = -H^{-1} b.
+
+    (The reference kernel aborts a whole row at the first far pair — an
+    evident bug; we gate per pair.)"""
+    chunk = min(chunk, y_t.capacity)
+    y_t = pad_cloud_to_multiple(y_t, chunk)
+    M = y_t.capacity
+    nchunks = M // chunk
+
+    def body(c, carry):
+        S, m_y, M_yy, cr, dsum = carry
+        yb = _slice_cloud(y_t, c * chunk, chunk)
+        a = kernel_block(params, ell, x, yb)
+        d2 = jnp.zeros_like(a)
+        for k in range(3):
+            diff = x.xyz[:, k : k + 1] - yb.xyz[None, :, k]
+            d2 = d2 + diff * diff
+        a = jnp.where(d2 < dist_gate * dist_gate, a, 0.0)
+        S = S + jnp.sum(a)
+        col_w = jnp.sum(a, axis=0)          # per-target total weight
+        row_w = jnp.sum(a, axis=1)
+        m_y = m_y + col_w @ yb.xyz
+        M_yy = M_yy + (yb.xyz * col_w[:, None]).T @ yb.xyz
+        # cross terms: sum_ij a x_i y_j^T and sum_ij a x_i
+        Ay = a @ yb.xyz                      # [N,3]
+        cr = cr + x.xyz.T @ Ay               # sum a x y^T
+        dsum = dsum + jnp.stack(
+            [jnp.sum(row_w * x.xyz[:, k]) for k in range(3)]
+        )
+        return S, m_y, M_yy, cr, dsum
+
+    z = jnp.zeros
+    S, m_y, M_yy, M_xy, m_x = lax.fori_loop(
+        0, nchunks, body,
+        (z((), jnp.float32), z((3,), jnp.float32), z((3, 3), jnp.float32),
+         z((3, 3), jnp.float32), z((3,), jnp.float32)),
+    )
+    inv_l2 = 1.0 / (ell * ell)
+    I3 = jnp.eye(3, dtype=jnp.float32)
+    # H = 1/l^2 [ sum a (|y|^2 I - y y^T), sum a y^x ; -sum a y^x, S I ]
+    H_tl = (jnp.trace(M_yy) * I3 - M_yy) * inv_l2
+    my_hat = lie.skew(m_y) * inv_l2
+    H = jnp.block([[H_tl, my_hat], [-my_hat, S * I3 * inv_l2]])
+    # b = 1/l^2 [ sum a y x (x - y) -> y cross x ; sum a (x - y) ]
+    cross = jnp.stack(
+        [M_xy[2, 1] - M_xy[1, 2], M_xy[0, 2] - M_xy[2, 0], M_xy[1, 0] - M_xy[0, 1]]
+    )  # sum a (y cross x)
+    b = jnp.concatenate([cross, m_x - m_y]) * inv_l2
+    eps = jnp.linalg.solve(H + 1e-8 * jnp.eye(6), -b)
+    return eps[:3], eps[3:]
+
+
+def weighted_d2_sum(params, ell, x: PointCloud, y: PointCloud, chunk: int = DEFAULT_CHUNK):
+    """(sum_ij A_ij * d2_ij, nonzeros) over the kernel support — the
+    ingredients of the adaptive-ell gradient (reference AdaptiveCvoGPU.cu
+    compute_flow_gpu_no_eigen dl accumulation, :548-720). d2 is the
+    geometric squared distance (sum_diff_*_2 in the reference)."""
+    chunk = min(chunk, y.capacity)
+    y = pad_cloud_to_multiple(y, chunk)
+    M = y.capacity
+    nchunks = M // chunk
+
+    def body(c, carry):
+        acc, cnt = carry
+        yb = _slice_cloud(y, c * chunk, chunk)
+        a = kernel_block(params, ell, x, yb)
+        d2 = jnp.zeros_like(a)
+        for k in range(3):
+            diff = x.xyz[:, k : k + 1] - yb.xyz[None, :, k]
+            d2 = d2 + diff * diff
+        acc = acc + jnp.sum(a * d2)
+        cnt = cnt + jnp.sum(a > 0)
+        return acc, cnt
+
+    return lax.fori_loop(
+        0, nchunks, body, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32))
+    )
+
+
 class FlowStats(NamedTuple):
     row_sum: jax.Array    # [N]   s_i = sum_j A_ij
     row_wy: jax.Array     # [N,3] w_i = sum_j A_ij y_j
