@@ -38,7 +38,11 @@ def run_sequence(
     chunk: int = 4096,
     max_iter: int | None = None,
     log=print,
+    metrics_path: str | None = None,
 ):
+    from unified_cvo_tpu.utils.logging import MetricsLogger
+
+    metrics = MetricsLogger(metrics_path)
     kitti = KittiHandler(seq_dir, "stereo")
     calib = kitti.calibration()
     params = read_cvo_params_yaml(param_file)
@@ -96,8 +100,14 @@ def run_sequence(
             f"ell={float(info.final_ell):.3f} ret={int(ret)} "
             f"frontend={t_frontend:.2f}s align={t_align:.2f}s"
         )
+        metrics.log(
+            frame=i + 1, iterations=int(info.iterations), ret=int(ret),
+            final_ell=float(info.final_ell), nonzeros=int(info.nonzeros),
+            frontend_seconds=t_frontend, align_seconds=t_align,
+        )
         source = target
 
+    metrics.close()
     out.close()
     n_aligned = len(poses) - 1
     log(f"Average registration time is {total_time / max(n_aligned, 1):.3f}")

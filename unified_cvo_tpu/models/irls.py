@@ -232,12 +232,19 @@ def irls_solve(
     params: CvoParams,
     chunk: int = 1024,
     log=lambda *a: None,
+    checkpoint_path: Optional[str] = None,
+    resume: bool = False,
 ):
     """Host-driven outer IRLS loop (the CvoBatchIRLS::solve twin).
 
     clouds: stacked PointCloud pytree with leading frame axis [F, N, ...].
     init_poses: [F,3,4] float32 row-major (CvoFrame::pose_vec layout).
     Returns (poses [F,3,4], history list).
+
+    With `checkpoint_path`, outer-loop state (poses, ell, iteration,
+    last_nonzeros) is snapshotted each iteration and `resume=True` restarts
+    from it — the BA analogue of the reference's start-frame resumability
+    (SURVEY.md §5 checkpoint/resume).
     """
     moments_fn, gn_fn = make_irls_kernels(params, chunk)
     poses = jnp.asarray(init_poses, jnp.float32)
@@ -249,6 +256,16 @@ def irls_solve(
     last_nonzeros = 0
     history = []
     iter_ = 0
+    if resume and checkpoint_path:
+        import os
+
+        if os.path.exists(checkpoint_path):
+            snap = np.load(checkpoint_path)
+            poses = jnp.asarray(snap["poses"], jnp.float32)
+            ell = float(snap["ell"])
+            iter_ = int(snap["iter"])
+            last_nonzeros = int(snap["last_nonzeros"])
+            log(f"resumed from {checkpoint_path}: iter={iter_} ell={ell:.4f}")
     while True:
         mom = moments_fn(clouds, poses, edge_i, edge_j, jnp.float32(ell))
         nz = np.asarray(mom.nonzeros)
@@ -277,6 +294,14 @@ def irls_solve(
             else:
                 break
         iter_ += 1
+        if checkpoint_path:
+            np.savez(
+                checkpoint_path,
+                poses=np.asarray(poses),
+                ell=ell,
+                iter=iter_,
+                last_nonzeros=last_nonzeros,
+            )
     return np.asarray(poses), history
 
 
