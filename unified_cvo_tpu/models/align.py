@@ -82,7 +82,8 @@ def _stats_fns(backend: str, chunk: int):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "params", "record_history", "chunk", "max_iter", "backend", "adaptive_ell"
+        "params", "record_history", "chunk", "max_iter", "backend",
+        "adaptive_ell", "spatial_culling",
     ),
 )
 def align(
@@ -95,6 +96,7 @@ def align(
     max_iter: Optional[int] = None,
     backend: str = "jnp",
     adaptive_ell: Optional[bool] = None,
+    spatial_culling: bool = True,
 ):
     """Register target onto source. Returns (transform[4,4], ret, AlignInfo).
 
@@ -116,7 +118,6 @@ def align(
     """
     if adaptive_ell is None:
         adaptive_ell = bool(params.is_ell_adaptive)
-    flow_fn, step_fn = _stats_fns(backend, chunk)
     f32 = jnp.float32
     max_iter = params.MAX_ITER if max_iter is None else max_iter
     R0 = jnp.asarray(init_guess[:3, :3], f32)
@@ -124,6 +125,43 @@ def align(
     nx = source.num_valid
     ny = target.num_valid
     sqrt_nxny = jnp.sqrt(jnp.maximum(nx * ny, 1.0))
+
+    # spatial tile culling (Pallas backends only): Morton-sort both clouds
+    # once so tiles are spatially compact, then per iteration cull
+    # (source-tile x target-tile) pairs beyond the kernel support (the
+    # streaming-dense answer to the reference's kd-tree / scan-cap pruning).
+    culling = (
+        spatial_culling
+        and backend.startswith("pallas")
+        and bool(params.is_using_geometry)
+    )
+    if culling:
+        from unified_cvo_tpu.ops import morton
+        from unified_cvo_tpu.ops import pallas_kernels as pk
+
+        tile_i, tile_j = pk.DEFAULT_TILE_I, pk.DEFAULT_TILE_J
+        source = kernels.pad_cloud_to_multiple(source, tile_i)
+        target = kernels.pad_cloud_to_multiple(target, tile_j)
+        source, _ = morton.sort_cloud(source)
+        target, _ = morton.sort_cloud(target)
+        x_lo, x_hi = morton.tile_aabbs(source.xyz, source.mask, tile_i)
+        interp = backend == "pallas_interpret"
+
+        def flow_fn(p, ell, x, y_t):
+            y_lo, y_hi = morton.tile_aabbs(y_t.xyz, y_t.mask, tile_j)
+            d2max = morton.tile_d2max(p, ell, x.xyz, x.mask, tile_i)
+            mask = morton.tile_cull_mask(x_lo, x_hi, d2max, y_lo, y_hi)
+            return pk.flow_stats_pallas(p, ell, x, y_t, tile_mask=mask,
+                                        interpret=interp)
+
+        def step_fn(p, ell, x, y_t, tw):
+            y_lo, y_hi = morton.tile_aabbs(y_t.xyz, y_t.mask, tile_j)
+            d2max = morton.tile_d2max(p, ell, x.xyz, x.mask, tile_i)
+            mask = morton.tile_cull_mask(x_lo, x_hi, d2max, y_lo, y_hi)
+            return pk.step_coeffs_pallas(p, ell, x, y_t, tw, tile_mask=mask,
+                                         interpret=interp)
+    else:
+        flow_fn, step_fn = _stats_fns(backend, chunk)
 
     if record_history:
         hist = {

@@ -39,7 +39,7 @@ from unified_cvo_tpu.ops import lie
 from unified_cvo_tpu.utils.pointcloud import PointCloud
 
 DEFAULT_TILE_I = 256
-DEFAULT_TILE_J = 512
+DEFAULT_TILE_J = 256  # best culled-grid throughput (tile sweep in commit log)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -289,33 +289,60 @@ def _a_block(params, lo: PackLayout, x, yT):
     return jnp.where(ok & (a > sp), a, 0.0)
 
 
-def _flow_kernel(params, lo: PackLayout, x_ref, y_ref, s_ref, wy_ref, cnt_ref):
+def _flow_kernel(params, lo: PackLayout, use_mask: bool, n_j: int, *refs):
+    if use_mask:
+        mask_ref, x_ref, y_ref, s_ref, wy_ref, cnt_ref = refs
+    else:
+        x_ref, y_ref, s_ref, wy_ref, cnt_ref = refs
+    i = pl.program_id(0)
     j = pl.program_id(1)
-    x = x_ref[:]
-    yT = y_ref[:]
-    a = _a_block(params, lo, x, yT)
-    partial_s = jnp.sum(a, axis=1, keepdims=True)
-    partial_cnt = jnp.sum((a > 0).astype(jnp.float32), axis=1, keepdims=True)
-    partial_wy = jax.lax.dot_general(
-        a, yT[lo.y_xyz : lo.y_xyz + 3, :], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
 
     @pl.when(j == 0)
     def _():
-        s_ref[:] = partial_s
-        wy_ref[:] = partial_wy
-        cnt_ref[:] = partial_cnt
+        s_ref[:] = jnp.zeros_like(s_ref)
+        wy_ref[:] = jnp.zeros_like(wy_ref)
+        cnt_ref[:] = jnp.zeros_like(cnt_ref)
 
-    @pl.when(j > 0)
+    active = mask_ref[i * n_j + j] > 0 if use_mask else True
+
+    @pl.when(active)
     def _():
-        s_ref[:] = s_ref[:] + partial_s
-        wy_ref[:] = wy_ref[:] + partial_wy
-        cnt_ref[:] = cnt_ref[:] + partial_cnt
+        x = x_ref[:]
+        yT = y_ref[:]
+        a = _a_block(params, lo, x, yT)
+        s_ref[:] = s_ref[:] + jnp.sum(a, axis=1, keepdims=True)
+        cnt_ref[:] = cnt_ref[:] + jnp.sum(
+            (a > 0).astype(jnp.float32), axis=1, keepdims=True
+        )
+        wy_ref[:] = wy_ref[:] + jax.lax.dot_general(
+            a, yT[lo.y_xyz : lo.y_xyz + 3, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
 
-def _step_kernel(params, lo: PackLayout, x_ref, y_ref,
-                 b_ref, c_ref, d_ref, e_ref):
+def _step_kernel(params, lo: PackLayout, use_mask: bool, n_j: int, *refs):
+    if use_mask:
+        mask_ref, x_ref, y_ref, b_ref, c_ref, d_ref, e_ref = refs
+    else:
+        x_ref, y_ref, b_ref, c_ref, d_ref, e_ref = refs
+    i = pl.program_id(0)
+    jj = pl.program_id(1)
+
+    @pl.when(jj == 0)
+    def _():
+        b_ref[:] = jnp.zeros_like(b_ref)
+        c_ref[:] = jnp.zeros_like(c_ref)
+        d_ref[:] = jnp.zeros_like(d_ref)
+        e_ref[:] = jnp.zeros_like(e_ref)
+
+    active = mask_ref[i * n_j + jj] > 0 if use_mask else True
+
+    @pl.when(active)
+    def _():
+        _step_tile(params, lo, x_ref, y_ref, b_ref, c_ref, d_ref, e_ref)
+
+
+def _step_tile(params, lo: PackLayout, x_ref, y_ref, b_ref, c_ref, d_ref, e_ref):
     x = x_ref[:]
     yT = y_ref[:]
     a = _a_block(params, lo, x, yT)
@@ -341,43 +368,31 @@ def _step_kernel(params, lo: PackLayout, x_ref, y_ref,
     delta = 2.0 * coef * (xdx2 - d3)
     epsil = -coef * (epsc + 2.0 * d4)
     b2 = beta * beta
-    j = pl.program_id(1)
-    pb = jnp.sum(a * beta, axis=1, keepdims=True)
-    pc = jnp.sum(a * (gamma + 0.5 * b2), axis=1, keepdims=True)
-    pd = jnp.sum(a * (delta + beta * gamma + b2 * beta / 6.0), axis=1, keepdims=True)
-    pe = jnp.sum(
+    b_ref[:] = b_ref[:] + jnp.sum(a * beta, axis=1, keepdims=True)
+    c_ref[:] = c_ref[:] + jnp.sum(a * (gamma + 0.5 * b2), axis=1, keepdims=True)
+    d_ref[:] = d_ref[:] + jnp.sum(
+        a * (delta + beta * gamma + b2 * beta / 6.0), axis=1, keepdims=True
+    )
+    e_ref[:] = e_ref[:] + jnp.sum(
         a * (epsil + beta * delta + 0.5 * b2 * gamma + 0.5 * gamma * gamma
              + b2 * b2 / 24.0),
         axis=1, keepdims=True,
     )
 
-    @pl.when(j == 0)
-    def _():
-        b_ref[:] = pb
-        c_ref[:] = pc
-        d_ref[:] = pd
-        e_ref[:] = pe
-
-    @pl.when(j > 0)
-    def _():
-        b_ref[:] = b_ref[:] + pb
-        c_ref[:] = c_ref[:] + pc
-        d_ref[:] = d_ref[:] + pd
-        e_ref[:] = e_ref[:] + pe
-
 
 def _grid_specs(lo, N, M, TI, TJ, y_dim, n_row_outputs):
     grid = (N // TI, M // TJ)
     in_specs = [
-        pl.BlockSpec((TI, lo.x_dim), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((y_dim, TJ), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TI, lo.x_dim), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((y_dim, TJ), lambda i, j, *_: (0, j), memory_space=pltpu.VMEM),
     ]
     return grid, in_specs
 
 
 def flow_stats_pallas(params, ell, x: PointCloud, y_t: PointCloud,
                       tile_i: int = DEFAULT_TILE_I, tile_j: int = DEFAULT_TILE_J,
-                      interpret: bool = False) -> jnp_kernels.FlowStats:
+                      interpret: bool = False,
+                      tile_mask=None) -> jnp_kernels.FlowStats:
     lo = layout_for(params, x)
     n_orig = x.capacity
     x = jnp_kernels.pad_cloud_to_multiple(x, tile_i)
@@ -387,22 +402,38 @@ def flow_stats_pallas(params, ell, x: PointCloud, y_t: PointCloud,
     yp = pack_y(lo, y_t)
     grid, in_specs = _grid_specs(lo, N, M, tile_i, tile_j, lo.y_dim_flow, 2)
     nI, nJ = grid
-    out = pl.pallas_call(
-        functools.partial(_flow_kernel, params, lo),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((N, 1), jnp.float32),
-            jax.ShapeDtypeStruct((N, 3), jnp.float32),
-            jax.ShapeDtypeStruct((N, 1), jnp.float32),
-        ],
-        interpret=interpret,
-    )(xp, yp)
+    use_mask = tile_mask is not None
+    out_specs = [
+        pl.BlockSpec((tile_i, 1), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_i, 3), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_i, 1), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((N, 1), jnp.float32),
+        jax.ShapeDtypeStruct((N, 3), jnp.float32),
+        jax.ShapeDtypeStruct((N, 1), jnp.float32),
+    ]
+    if use_mask:
+        assert tile_mask.shape == (nI, nJ), (tile_mask.shape, grid)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+            out_specs=out_specs,
+        )
+        out = pl.pallas_call(
+            functools.partial(_flow_kernel, params, lo, True, nJ),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(tile_mask.reshape(-1).astype(jnp.int32), xp, yp)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_flow_kernel, params, lo, False, nJ),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(xp, yp)
     s, wy, cnt = out
     return jnp_kernels.FlowStats(
         row_sum=s[:n_orig, 0],
@@ -414,7 +445,7 @@ def flow_stats_pallas(params, ell, x: PointCloud, y_t: PointCloud,
 
 def step_coeffs_pallas(params, ell, x: PointCloud, y_t: PointCloud, twist,
                        tile_i: int = DEFAULT_TILE_I, tile_j: int = DEFAULT_TILE_J,
-                       interpret: bool = False):
+                       interpret: bool = False, tile_mask=None):
     lo = layout_for(params, x)
     x = jnp_kernels.pad_cloud_to_multiple(x, tile_i)
     y_t = jnp_kernels.pad_cloud_to_multiple(y_t, tile_j)
@@ -423,16 +454,31 @@ def step_coeffs_pallas(params, ell, x: PointCloud, y_t: PointCloud, twist,
     yp = pack_y(lo, y_t, twist=jnp.asarray(twist, jnp.float32))
     grid, in_specs = _grid_specs(lo, N, M, tile_i, tile_j, lo.y_dim_step, 0)
     nI, nJ = grid
-    outs = pl.pallas_call(
-        functools.partial(_step_kernel, params, lo),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
-            for _ in range(4)
-        ],
-        out_shape=[jax.ShapeDtypeStruct((N, 1), jnp.float32) for _ in range(4)],
-        interpret=interpret,
-    )(xp, yp)
+    use_mask = tile_mask is not None
+    out_specs = [
+        pl.BlockSpec((tile_i, 1), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM)
+        for _ in range(4)
+    ]
+    out_shape = [jax.ShapeDtypeStruct((N, 1), jnp.float32) for _ in range(4)]
+    if use_mask:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+            out_specs=out_specs,
+        )
+        outs = pl.pallas_call(
+            functools.partial(_step_kernel, params, lo, True, nJ),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(tile_mask.reshape(-1).astype(jnp.int32), xp, yp)
+    else:
+        outs = pl.pallas_call(
+            functools.partial(_step_kernel, params, lo, False, nJ),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(xp, yp)
     B, C, D, E = (jnp.sum(o) for o in outs)
     return B, C, D, E
