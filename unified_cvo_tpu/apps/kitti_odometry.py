@@ -2,13 +2,18 @@
 
 Usage:
     python -m unified_cvo_tpu.apps.kitti_odometry SEQ_DIR PARAMS.yaml OUT.txt \
-        [START_FRAME] [MAX_FRAMES]
+        [START_FRAME] [MAX_FRAMES] [--semantic]
 
 Mirrors src/experiments/main_cvo_gpu_align_raw_image.cpp:22-169: per frame,
 build a stereo point cloud (FAST-adaptive selection + SGM disparity), align
 against the previous frame with the previous relative motion as the initial
 guess (constant velocity), accumulate, and stream KITTI-format rows to OUT.
 The first pair uses the *_first_frame parameter swap (main:40-46,156-161).
+
+With --semantic, per-pixel 19-class distributions are read alongside the
+stereo pair and attached to the clouds — the cvo_align_gpu_semantic_img
+twin (main_cvo_semantic_gpu_align_raw_image.cpp: read_next_stereo with
+num_classes + semantic CvoPointCloud).
 """
 
 from __future__ import annotations
@@ -39,6 +44,9 @@ def run_sequence(
     max_iter: int | None = None,
     log=print,
     metrics_path: str | None = None,
+    semantic: bool = False,
+    num_classes: int = 19,
+    capacity: int = CAPACITY,
 ):
     from unified_cvo_tpu.utils.logging import MetricsLogger
 
@@ -53,12 +61,21 @@ def run_sequence(
     out.write("1 0 0 0 0 1 0 0 0 0 1 0\n")
     out.flush()
 
-    pair = kitti.read_next_stereo()
-    if pair is None:
+    def read_frame():
+        if semantic:
+            return kitti.read_next_stereo_semantic(num_classes)
+        pair = kitti.read_next_stereo()
+        return None if pair is None else (*pair, None)
+
+    def build_cloud(left, right, sem):
+        return pointcloud_from_stereo(
+            left, right, calib, semantics=sem, denoise=denoise, capacity=capacity
+        )
+
+    frame = read_frame()
+    if frame is None:
         raise RuntimeError("empty sequence")
-    source = pointcloud_from_stereo(
-        pair[0], pair[1], calib, denoise=denoise, capacity=CAPACITY
-    )
+    source = build_cloud(*frame)
 
     init_guess = np.eye(4, dtype=np.float32)
     accum = np.eye(4, dtype=np.float64)
@@ -68,13 +85,11 @@ def run_sequence(
 
     for i in range(start_frame, n_frames - 1):
         kitti.next()
-        pair = kitti.read_next_stereo()
-        if pair is None:
+        frame = read_frame()
+        if frame is None:
             break
         t0 = time.time()
-        target = pointcloud_from_stereo(
-            pair[0], pair[1], calib, denoise=denoise, capacity=CAPACITY
-        )
+        target = build_cloud(*frame)
         t_frontend = time.time() - t0
 
         p = first_params if i == start_frame else params
@@ -119,10 +134,13 @@ def main(argv=None):
     if len(argv) < 3:
         print(__doc__)
         return 1
+    semantic = "--semantic" in argv
+    argv = [a for a in argv if a != "--semantic"]
     seq_dir, param_file, out_path = argv[:3]
     start = int(argv[3]) if len(argv) > 3 else 0
     max_frames = int(argv[4]) if len(argv) > 4 else 100000
-    run_sequence(seq_dir, param_file, out_path, start, max_frames)
+    run_sequence(seq_dir, param_file, out_path, start, max_frames,
+                 semantic=semantic)
     return 0
 
 

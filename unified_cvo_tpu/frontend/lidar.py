@@ -155,6 +155,14 @@ def pointcloud_from_lidar(
         labels = np.eye(num_classes, dtype=np.float32)[
             np.clip(np.asarray(semantics)[idx], 0, num_classes - 1)
         ]
+    if capacity is not None and len(idx) > capacity:
+        # uniform point-budget cap (same contract as the image pipeline)
+        idx = idx[np.linspace(0, len(idx) - 1, capacity).astype(np.int64)]
+        feats = intensity[idx, None]
+        if semantics is not None:
+            labels = np.eye(num_classes, dtype=np.float32)[
+                np.clip(np.asarray(semantics)[idx], 0, num_classes - 1)
+            ]
     gtype = np.tile(np.array([[1.0, 0.0]], np.float32), (len(idx), 1))
     return make_pointcloud(
         xyz[idx], features=feats, labels=labels, geometric_types=gtype,

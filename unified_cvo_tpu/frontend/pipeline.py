@@ -38,6 +38,13 @@ def _finalize(raw: RawImage, uv, gtype, xyz, good, bucket, capacity=None):
         uv, gtype, xyz, feats, labels = (
             uv[keep], gtype[keep], xyz[keep], feats[keep], labels[keep]
         )
+    if capacity is not None and len(xyz) > capacity:
+        # uniform point-budget cap — the analogue of the reference's adaptive
+        # FAST-threshold retuning toward its 15-28k target
+        # (CvoPointCloud.cpp:283-323)
+        sub = np.linspace(0, len(xyz) - 1, capacity).astype(np.int64)
+        xyz, gtype, feats = xyz[sub], gtype[sub], feats[sub]
+        labels = labels[sub] if labels is not None else None
     return make_pointcloud(
         xyz, features=feats, labels=labels, geometric_types=gtype,
         bucket=bucket, capacity=capacity,

@@ -150,9 +150,13 @@ def _edge_blocks(P11, P12, P22, T1, T2):
 
 
 def _assemble_and_solve(poses, edge_i, edge_j, moments: EdgeMoments,
-                        edge_active, pivot_mask, damping):
+                        edge_active, pivot_mask, damping, dof_mask=None):
     """One GN iteration: build the 6F x 6F system from edge blocks, fix the
-    gauge at pivot frames, Cholesky-solve, left-update the poses."""
+    gauge at pivot frames, Cholesky-solve, left-update the poses.
+
+    dof_mask: optional [6] 0/1 mask over the (rot, trans) tangent dims;
+    zeroed dims are frozen (the translation-only BA variant,
+    main_multi_frame_irls_translation_only_tartan.cpp)."""
     F = poses.shape[0]
     T1 = poses[edge_i]                       # [E,3,4]
     T2 = poses[edge_j]
@@ -176,6 +180,8 @@ def _assemble_and_solve(poses, edge_i, edge_j, moments: EdgeMoments,
 
     free = 1.0 - pivot_mask.astype(poses.dtype)          # [F]
     free6 = jnp.repeat(free, 6)
+    if dof_mask is not None:
+        free6 = free6 * jnp.tile(jnp.asarray(dof_mask, poses.dtype), F)
     Hd = H.reshape(6 * F, 6 * F)
     # gauge fix: zero pivot rows/cols, unit diagonal there (delta_pivot = 0)
     Hd = Hd * free6[:, None] * free6[None, :]
@@ -207,11 +213,12 @@ def make_irls_kernels(params: CvoParams, chunk: int = 1024):
 
     @functools.partial(jax.jit, static_argnames=("n_iters",))
     def gn_fn(poses, edge_i, edge_j, moments, edge_active, pivot_mask,
-              n_iters: int, damping=1e-6):
+              n_iters: int, damping=1e-6, dof_mask=None):
         def body(carry, _):
             poses, _, _ = carry
             poses_new, cost, dnorm = _assemble_and_solve(
-                poses, edge_i, edge_j, moments, edge_active, pivot_mask, damping
+                poses, edge_i, edge_j, moments, edge_active, pivot_mask, damping,
+                dof_mask=dof_mask,
             )
             return (poses_new, cost, dnorm), None
 
@@ -234,6 +241,7 @@ def irls_solve(
     log=lambda *a: None,
     checkpoint_path: Optional[str] = None,
     resume: bool = False,
+    translation_only: bool = False,
 ):
     """Host-driven outer IRLS loop (the CvoBatchIRLS::solve twin).
 
@@ -247,6 +255,9 @@ def irls_solve(
     (SURVEY.md §5 checkpoint/resume).
     """
     moments_fn, gn_fn = make_irls_kernels(params, chunk)
+    dof_mask = (
+        jnp.asarray([0, 0, 0, 1, 1, 1], jnp.float32) if translation_only else None
+    )
     poses = jnp.asarray(init_poses, jnp.float32)
     edge_i = jnp.asarray([e[0] for e in edges], jnp.int32)
     edge_j = jnp.asarray([e[1] for e in edges], jnp.int32)
@@ -279,7 +290,7 @@ def irls_solve(
             last_nonzeros = total_nonzeros
             poses, cost, dnorm = gn_fn(
                 poses, edge_i, edge_j, mom, edge_active, pivot_mask,
-                params.multiframe_iterations_per_solve,
+                params.multiframe_iterations_per_solve, dof_mask=dof_mask,
             )
             history.append(
                 {"iter": iter_, "ell": ell, "nonzeros": total_nonzeros,
