@@ -152,3 +152,33 @@ def test_voxel_downsample():
     assert 1 < len(idx) <= 8
     q = np.floor(xyz[idx] / 0.5).astype(int)
     assert len(np.unique(q, axis=0)) == len(idx)
+
+
+def test_dso_selector_histogram_thresholds_and_budget():
+    """The DSO selector (dso_select_pixels, CvoPixelSelector.cpp:430-463)
+    gates on per-32x32-block histogram thresholds and retunes its grid
+    potential toward the budget."""
+    raw = make_raw_image(_textured_scene(h=376, w=624, seed=5), denoise=False)
+    uv_lo, _ = sel.dso_select_pixels(raw, 2000)
+    uv_hi, _ = sel.dso_select_pixels(raw, 30000)
+    assert len(uv_hi) >= len(uv_lo)
+    # border exclusion: xf in [4, w-5], yf in [4, h-4)
+    for uv in (uv_lo, uv_hi):
+        assert uv[:, 0].min() >= 4 and uv[:, 0].max() < raw.cols - 4
+        assert uv[:, 1].min() >= 4 and uv[:, 1].max() < raw.rows - 4
+    # selected pixels clear their block threshold
+    from unified_cvo_tpu.frontend.selector import _dso_block_thresholds
+    ths = _dso_block_thresholds(raw.gradient_square)
+    g = raw.gradient_square[uv_hi[:, 1], uv_hi[:, 0]]
+    t = ths[np.minimum(uv_hi[:, 1] // 32, ths.shape[0] - 1),
+            np.minimum(uv_hi[:, 0] // 32, ths.shape[1] - 1)]
+    assert np.all(g > t)
+    # at most one pick per pot-cell: all uv unique
+    assert len(np.unique(uv_hi[:, 0] * 10000 + uv_hi[:, 1])) == len(uv_hi)
+
+
+def test_dso_selector_flat_image_yields_few_points():
+    flat = np.full((128, 256, 3), 127, np.uint8)
+    raw = make_raw_image(flat, denoise=False)
+    uv, _ = sel.dso_select_pixels(raw, 5000)
+    assert len(uv) < 50

@@ -53,26 +53,94 @@ def _fast_adaptive(gray, pt_type: str, num_classes: int):
     return uv, gtype
 
 
-def _dso_like(raw: RawImage, expected_points=10000):
-    """Gradient-magnitude semi-dense selection approximating the DSO
-    PixelSelector (reference src/utils/CvoPixelSelector.cpp): pick the
-    strongest-gradient pixel per cell over a small grid, keeping cells whose
-    response clears a histogram-adaptive threshold."""
-    gs = raw.gradient_square
+def _dso_block_thresholds(gs: np.ndarray) -> np.ndarray:
+    """DSO gradient-histogram block thresholds (reference makeHists,
+    CvoPixelSelector.cpp:85-147): per 32x32 block, the histogram quantile of
+    int(sqrt(grad^2)) clipped to 48 at cut 0.5 plus 7 (settings at :48-49),
+    then a 3x3 block-neighborhood average, squared (thsSmoothed)."""
     h, w = gs.shape
-    cell = 4
-    H, W = h // cell, w // cell
-    gsc = gs[: H * cell, : W * cell].reshape(H, cell, W, cell).transpose(0, 2, 1, 3)
-    gsc = gsc.reshape(H, W, cell * cell)
-    best = gsc.argmax(-1)
-    bestval = gsc.max(-1)
-    # adaptive threshold: median of per-cell maxima, scaled to hit the budget
-    thr = np.median(bestval[bestval > 0]) if (bestval > 0).any() else 0.0
-    order = np.argsort(-bestval.ravel())
-    keep = order[: min(expected_points, (bestval.ravel() > thr).sum())]
-    cy, cx = np.unravel_index(keep, (H, W))
-    oy, ox = np.unravel_index(best[cy, cx], (cell, cell))
-    uv = np.stack([cx * cell + ox, cy * cell + oy], axis=1).astype(np.int32)
+    h32, w32 = h // 32, w // 32
+    # interior pixels only (1 <= x <= w-2, 1 <= y <= h-2)
+    g = np.sqrt(np.maximum(gs, 0.0)).astype(np.int32)
+    np.clip(g, 0, 48, out=g)
+    interior = np.zeros((h, w), bool)
+    interior[1 : h - 1, 1 : w - 1] = True
+    ths = np.zeros((h32, w32), np.float32)
+    for by in range(h32):
+        for bx in range(w32):
+            blk = g[32 * by : 32 * by + 32, 32 * bx : 32 * bx + 32]
+            msk = interior[32 * by : 32 * by + 32, 32 * bx : 32 * bx + 32]
+            vals = blk[msk]
+            hist = np.bincount(vals, minlength=49)
+            total = len(vals)
+            # computeHistQuantil (CvoPixelSelector.cpp:72-79)
+            th = int(total * 0.5 + 0.5)
+            cum = np.cumsum(hist)
+            below = np.nonzero(cum > th)[0]
+            q = int(below[0]) if len(below) else 90
+            ths[by, bx] = q + 7.0
+    # 3x3 neighborhood mean (makeHists smoothing, :118-141), then squared
+    pad = np.pad(ths, 1, mode="constant")
+    cnt = np.pad(np.ones_like(ths), 1, mode="constant")
+    sm = sum(
+        pad[1 + dy : 1 + dy + h32, 1 + dx : 1 + dx + w32]
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+    )
+    n = sum(
+        cnt[1 + dy : 1 + dy + h32, 1 + dx : 1 + dx + w32]
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+    )
+    sm = sm / n
+    return (sm * sm).astype(np.float32)
+
+
+def _dso_select_pot(gs: np.ndarray, ths_sm: np.ndarray, pot: int,
+                    th_factor: float = 1.0) -> np.ndarray:
+    """One DSO selection pass at grid potential `pot` (reference select(),
+    CvoPixelSelector.cpp:270-426, with levels 1-2 and direction distribution
+    compiled out :47,373-395): in every pot x pot cell keep the pixel with the
+    largest grad^2 among those above the block threshold. Returns uv [N,2]."""
+    h, w = gs.shape
+    # border exclusion (xf<4 || xf>=w-5 || yf<4 || yf>h-4, :349)
+    per_pix_th = np.zeros((h, w), np.float32)
+    h32v = np.minimum(np.arange(h) // 32, ths_sm.shape[0] - 1)
+    w32v = np.minimum(np.arange(w) // 32, ths_sm.shape[1] - 1)
+    per_pix_th = ths_sm[h32v][:, w32v] * th_factor
+    ok = gs > per_pix_th
+    ok[:4, :] = False
+    ok[h - 4 :, :] = False
+    ok[:, :4] = False
+    ok[:, w - 4 :] = False
+    gv = np.where(ok, gs, -1.0)
+    H, W = -(-h // pot), -(-w // pot)
+    padded = np.full((H * pot, W * pot), -1.0, np.float32)
+    padded[:h, :w] = gv
+    cells = padded.reshape(H, pot, W, pot).transpose(0, 2, 1, 3).reshape(H, W, pot * pot)
+    best = cells.argmax(-1)
+    hit = cells.max(-1) > 0
+    cy, cx = np.nonzero(hit)
+    oy, ox = np.unravel_index(best[cy, cx], (pot, pot))
+    return np.stack([cx * pot + ox, cy * pot + oy], axis=1).astype(np.int32)
+
+
+def dso_select_pixels(raw: RawImage, num_want: int):
+    """The DSO semi-dense pixel selector, transcribed from the reference's
+    dso_select_pixels wrapper (CvoPixelSelector.cpp:430-463): start at grid
+    potential 3; while too many points are returned grow the potential (up to
+    5 retries); if fewer than 2/3 of the budget remain, back off two steps."""
+    gs = raw.gradient_square
+    ths_sm = _dso_block_thresholds(gs)
+    pot = 3
+    uv = _dso_select_pot(gs, ths_sm, pot)
+    times = 1
+    while len(uv) > num_want and times < 5:
+        pot += 1
+        uv = _dso_select_pot(gs, ths_sm, pot)
+        times += 1
+    if len(uv) < num_want * 2 // 3 and pot > 3:
+        uv = _dso_select_pot(gs, ths_sm, max(pot - 2, 1))
     gtype = np.tile(np.array([[0.9, 0.1]], np.float32), (len(uv), 1))
     return uv, gtype
 
@@ -126,7 +194,7 @@ def select_points(
     if method == CV_FAST:
         return _fast_adaptive(gray, pt_type, raw.num_classes)
     if method == DSO_EDGES:
-        return _dso_like(raw, expected_points)
+        return dso_select_pixels(raw, expected_points)
     if method == CANNY_EDGES:
         return _canny_uniform_orb(gray, True, True, True, expected_points, rng)
     if method == EDGES_ONLY:
