@@ -100,8 +100,12 @@ class PackLayout:
         return 11 + self.feature_dim + self.num_classes
 
     @property
-    def x_dim(self):
+    def x_xyzsq(self):  # |p|^2 (so d2 = |x|^2+|y|^2-2x.y rides the MXU)
         return 12 + self.feature_dim + self.num_classes
+
+    @property
+    def x_dim(self):
+        return 13 + self.feature_dim + self.num_classes
 
     # yT rows (same ordering, minus the x-only scalar columns)
     @property
@@ -136,22 +140,26 @@ class PackLayout:
     def y_geon2(self):
         return 8 + self.feature_dim + self.num_classes
 
+    @property
+    def y_xyzsq(self):  # |p|^2
+        return 9 + self.feature_dim + self.num_classes
+
     # flow-derivative rows (step pass only)
     @property
     def y_xiz(self):
-        return 9 + self.feature_dim + self.num_classes
+        return 10 + self.feature_dim + self.num_classes
 
     @property
     def y_scalars(self):  # normxiz2, xdx2, epsil_const
-        return 21 + self.feature_dim + self.num_classes
+        return 22 + self.feature_dim + self.num_classes
 
     @property
     def y_dim_flow(self):
-        return 9 + self.feature_dim + self.num_classes
+        return 10 + self.feature_dim + self.num_classes
 
     @property
     def y_dim_step(self):
-        return 24 + self.feature_dim + self.num_classes
+        return 25 + self.feature_dim + self.num_classes
 
 
 def layout_for(params, x: PointCloud) -> PackLayout:
@@ -166,10 +174,19 @@ def layout_for(params, x: PointCloud) -> PackLayout:
     )
 
 
-def pack_x(params, lo: PackLayout, x: PointCloud, ell):
+def cloud_center(x: PointCloud):
+    """Masked centroid, used to center coordinates before packing: d2 and all
+    (x - y) dot products are translation invariant, and centered coordinates
+    keep |p|^2 + |q|^2 - 2 p.q well-conditioned in fp32 at KITTI ranges."""
+    w = x.mask
+    return jnp.sum(x.xyz * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def pack_x(params, lo: PackLayout, x: PointCloud, ell, center=None):
     """[N, Dx] packed source matrix (per-i scalars precomputed)."""
     N = x.capacity
-    cols = [x.xyz, x.mask[:, None]]
+    xyz = x.xyz if center is None else x.xyz - center
+    cols = [xyz, x.mask[:, None]]
     rng = jnp_kernels.range_ell(ell, jnp.linalg.norm(x.xyz, axis=-1))
     two_l2 = 2.0 * rng * rng
     sigma2 = jnp.float32(params.sigma) ** 2
@@ -187,14 +204,20 @@ def pack_x(params, lo: PackLayout, x: PointCloud, ell):
         cols += [jnp.zeros((N, 0), jnp.float32), jnp.zeros((N, 1), jnp.float32)]
     g = x.geometric_types if x.geometric_types is not None else jnp.zeros((N, 2), jnp.float32)
     cols += [g, jnp.sum(g**2, -1, keepdims=True)]
+    cols += [jnp.sum(xyz**2, -1, keepdims=True)]
     return jnp.concatenate(cols, axis=1)
 
 
-def pack_y(lo: PackLayout, y: PointCloud, twist: Optional[jax.Array] = None):
+def pack_y(lo: PackLayout, y: PointCloud, twist: Optional[jax.Array] = None,
+           center=None):
     """[Dy, M] packed transposed target matrix; with `twist`, the flow
-    derivative rows xiz..xi4z and per-j scalars are appended (step pass)."""
+    derivative rows xiz..xi4z and per-j scalars are appended (step pass).
+    The xi*z flow derivatives are always computed from UNcentered
+    coordinates (xiz = W y + v is position dependent); only the xyz/|p|^2
+    rows used for differences are centered."""
     M = y.capacity
-    rows = [y.xyz.T, y.mask[None, :]]
+    xyz_c = y.xyz if center is None else y.xyz - center
+    rows = [xyz_c.T, y.mask[None, :]]
     if lo.use_intensity:
         rows += [y.features.T, jnp.sum(y.features**2, -1)[None, :]]
     else:
@@ -205,6 +228,7 @@ def pack_y(lo: PackLayout, y: PointCloud, twist: Optional[jax.Array] = None):
         rows += [jnp.zeros((0, M), jnp.float32), jnp.zeros((1, M), jnp.float32)]
     g = y.geometric_types if y.geometric_types is not None else jnp.zeros((M, 2), jnp.float32)
     rows += [g.T, jnp.sum(g**2, -1)[None, :]]
+    rows += [jnp.sum(xyz_c**2, -1)[None, :]]
     if twist is not None:
         omega, v = twist[:3], twist[3:]
         W = lie.skew(omega)
@@ -245,10 +269,16 @@ def _a_block(params, lo: PackLayout, x, yT):
 
     if lo.use_geometry:
         sigma2 = f32(params.sigma) ** 2
-        d2 = jnp.zeros((TI, TJ), f32)
-        for c in range(3):
-            diff = x[:, lo.x_xyz + c : lo.x_xyz + c + 1] - yT[lo.y_xyz + c : lo.y_xyz + c + 1, :]
-            d2 = d2 + diff * diff
+        # d2 = |x|^2 + |y|^2 - 2 x.y with the cross term on the MXU
+        cross_xy = jax.lax.dot_general(
+            x[:, lo.x_xyz : lo.x_xyz + 3], yT[lo.y_xyz : lo.y_xyz + 3, :],
+            (((1,), (0,)), ((), ())), preferred_element_type=f32,
+        )
+        d2 = jnp.maximum(
+            x[:, lo.x_xyzsq : lo.x_xyzsq + 1]
+            + yT[lo.y_xyzsq : lo.y_xyzsq + 1, :] - 2.0 * cross_xy,
+            0.0,
+        )
         two_l2 = x[:, lo.x_twol2 : lo.x_twol2 + 1]
         ok &= d2 < x[:, lo.x_d2thres : lo.x_d2thres + 1]
         k = sigma2 * jnp.exp(-d2 / two_l2)
@@ -398,8 +428,9 @@ def flow_stats_pallas(params, ell, x: PointCloud, y_t: PointCloud,
     x = jnp_kernels.pad_cloud_to_multiple(x, tile_i)
     y_t = jnp_kernels.pad_cloud_to_multiple(y_t, tile_j)
     N, M = x.capacity, y_t.capacity
-    xp = pack_x(params, lo, x, jnp.asarray(ell, jnp.float32))
-    yp = pack_y(lo, y_t)
+    center = cloud_center(x)
+    xp = pack_x(params, lo, x, jnp.asarray(ell, jnp.float32), center=center)
+    yp = pack_y(lo, y_t, center=center)
     grid, in_specs = _grid_specs(lo, N, M, tile_i, tile_j, lo.y_dim_flow, 2)
     nI, nJ = grid
     use_mask = tile_mask is not None
@@ -435,6 +466,8 @@ def flow_stats_pallas(params, ell, x: PointCloud, y_t: PointCloud,
             interpret=interpret,
         )(xp, yp)
     s, wy, cnt = out
+    # kernel accumulated sum_j a_ij (y_j - c); restore raw-frame wy
+    wy = wy + s * center[None, :]
     return jnp_kernels.FlowStats(
         row_sum=s[:n_orig, 0],
         row_wy=wy[:n_orig],
@@ -450,8 +483,9 @@ def step_coeffs_pallas(params, ell, x: PointCloud, y_t: PointCloud, twist,
     x = jnp_kernels.pad_cloud_to_multiple(x, tile_i)
     y_t = jnp_kernels.pad_cloud_to_multiple(y_t, tile_j)
     N, M = x.capacity, y_t.capacity
-    xp = pack_x(params, lo, x, jnp.asarray(ell, jnp.float32))
-    yp = pack_y(lo, y_t, twist=jnp.asarray(twist, jnp.float32))
+    center = cloud_center(x)
+    xp = pack_x(params, lo, x, jnp.asarray(ell, jnp.float32), center=center)
+    yp = pack_y(lo, y_t, twist=jnp.asarray(twist, jnp.float32), center=center)
     grid, in_specs = _grid_specs(lo, N, M, tile_i, tile_j, lo.y_dim_step, 0)
     nI, nJ = grid
     use_mask = tile_mask is not None
