@@ -42,3 +42,36 @@ def test_ate_detects_offset():
 def test_rpe():
     gt = read_kitti_poses(GT_00)[:100]
     assert rpe_rmse(gt, gt) == pytest.approx(0.0, abs=1e-9)
+
+
+def test_reference_result_hierarchy():
+    """Our devkit twin reproduces the expected ordering on the reference's
+    stored artifacts: CVO semantic <= intensity < geometric << NDT < GICP
+    (per-sequence trajectories under /root/reference/results and baselines)."""
+    import os
+
+    ref = "/root/reference"
+
+    def avg_t(d):
+        errs = []
+        for seq in range(11):
+            gt_p = f"{ref}/ground_truth/{seq:02d}/{seq:02d}.txt"
+            est_p = f"{ref}/{d}/{seq:02d}.txt"
+            if not (os.path.exists(gt_p) and os.path.exists(est_p)):
+                continue
+            gt = read_kitti_poses(gt_p)
+            est = read_kitti_poses(est_p)
+            n = min(len(gt), len(est))
+            t, _ = kitti_seq_error(gt[:n], est[:n])
+            errs.append(t)
+        assert len(errs) == 11
+        return float(np.mean(errs))
+
+    geo = avg_t("results/cvo_geometric_img_gpu0_oct23")
+    inten = avg_t("results/cvo_intensity_img_gpu0_oct25_best")
+    sem = avg_t("results/cvo_img_semantic_oct26_best")
+    gicp = avg_t("baselines/stereo/gicp")
+    ndt = avg_t("baselines/stereo/ndt")
+    assert sem <= inten < geo < ndt < gicp
+    assert 0.03 < geo < 0.06          # ~4.6 %
+    assert 0.03 < inten < 0.045
