@@ -132,3 +132,25 @@ def test_lyft_handler_roundtrip(tmp_path):
     np.testing.assert_allclose(out[:, 0], -pts[:, 1], rtol=1e-6)
     np.testing.assert_allclose(out[:, 2], pts[:, 0], rtol=1e-6)
     np.testing.assert_array_equal(lab, np.arange(100))
+
+
+def test_point_covariances_tpu_matches_host():
+    """On-device blocked-KNN covariance (utils/covariance.py
+    point_covariances_tpu, the cuKdTree CvoPointCovariance.cu twin) matches
+    the host cKDTree implementation, with masked padding zeroed."""
+    import numpy as np
+
+    from unified_cvo_tpu.utils.covariance import (
+        point_covariances, point_covariances_tpu)
+
+    rng = np.random.default_rng(7)
+    n, valid = 512, 450
+    xyz = rng.uniform(-8, 8, (n, 3)).astype(np.float32)
+    mask = np.zeros(n, np.float32)
+    mask[:valid] = 1.0
+    cov_h, eig_h, deg_h = point_covariances(xyz[:valid], k=16)
+    cov_d, eig_d, deg_d = point_covariances_tpu(xyz, mask, k=16, block=128)
+    np.testing.assert_allclose(np.asarray(cov_d)[:valid], cov_h, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(eig_d)[:valid], eig_h, atol=2e-5)
+    assert np.abs(np.asarray(cov_d)[valid:]).max() == 0.0
+    assert np.asarray(deg_d)[valid:].all()
