@@ -40,6 +40,14 @@ from unified_cvo_tpu.utils.pointcloud import PointCloud
 DEFAULT_CHUNK = 2048
 
 
+def _mm(a, b):
+    """f32-exact matmul. TPU XLA lowers f32 dots to bf16 inputs by default;
+    the kernel/flow/step math cancels catastrophically at bf16 (e.g. the
+    A @ y flow accumulation: ~0.4%% rounding of 30 m coordinates is ~10 cm
+    noise on a cm-scale signal), so every reduction here pins HIGHEST."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 def range_ell(ell, dist_to_sensor):
     """compute_range_ell (reference CvoGPU.cu:87-90)."""
     return (dist_to_sensor / 500.0 + 1.0) * ell
@@ -99,7 +107,7 @@ def kernel_block(params, ell, x: PointCloud, yb: PointCloud):
 
     if params.is_using_geometric_type:
         xg, yg = x.geometric_types, yb.geometric_types
-        dot = xg @ yg.T
+        dot = _mm(xg, yg.T)
         n2x = jnp.sum(xg * xg, -1)[:, None]
         n2y = jnp.sum(yg * yg, -1)[None, :]
         geo = dot * dot / jnp.maximum(n2x * n2y, 1e-12)
@@ -126,7 +134,7 @@ def kernel_block(params, ell, x: PointCloud, yb: PointCloud):
         d2c = (
             jnp.sum(xf * xf, -1)[:, None]
             + jnp.sum(yf * yf, -1)[None, :]
-            - 2.0 * (xf @ yf.T)
+            - 2.0 * _mm(xf, yf.T)
         )
         d2c = jnp.maximum(d2c, 0.0)
         d2c_thres = -2.0 * c_ell2 * jnp.log(sp / c_sigma2)
@@ -140,7 +148,7 @@ def kernel_block(params, ell, x: PointCloud, yb: PointCloud):
         d2s = (
             jnp.sum(xl * xl, -1)[:, None]
             + jnp.sum(yl * yl, -1)[None, :]
-            - 2.0 * (xl @ yl.T)
+            - 2.0 * _mm(xl, yl.T)
         )
         d2s = jnp.maximum(d2s, 0.0)
         d2s_thres = -2.0 * s_ell2 * jnp.log(sp / s_sigma2)
@@ -164,7 +172,7 @@ def kernel_block_dense(params, kernel_inv, x: PointCloud, yb: PointCloud):
 
     if params.is_using_geometric_type:
         xg, yg = x.geometric_types, yb.geometric_types
-        dot = xg @ yg.T
+        dot = _mm(xg, yg.T)
         n2 = jnp.sum(xg * xg, -1)[:, None] * jnp.sum(yg * yg, -1)[None, :]
         geo = dot * dot / jnp.maximum(n2, 1e-12)
         ok &= geo >= 0.01
@@ -189,7 +197,7 @@ def kernel_block_dense(params, kernel_inv, x: PointCloud, yb: PointCloud):
         c_sigma2 = f32(params.c_sigma) ** 2
         d2c = jnp.maximum(
             jnp.sum(xf * xf, -1)[:, None] + jnp.sum(yf * yf, -1)[None, :]
-            - 2.0 * (xf @ yf.T),
+            - 2.0 * _mm(xf, yf.T),
             0.0,
         )
         ok &= d2c < -2.0 * c_ell2 * jnp.log(sp / c_sigma2)
@@ -201,7 +209,7 @@ def kernel_block_dense(params, kernel_inv, x: PointCloud, yb: PointCloud):
         s_sigma2 = f32(params.s_sigma) ** 2
         d2s = jnp.maximum(
             jnp.sum(xl * xl, -1)[:, None] + jnp.sum(yl * yl, -1)[None, :]
-            - 2.0 * (xl @ yl.T),
+            - 2.0 * _mm(xl, yl.T),
             0.0,
         )
         ok &= d2s < -2.0 * s_ell2 * jnp.log(sp / s_sigma2)
@@ -264,11 +272,11 @@ def least_square_flow(params, ell, x: PointCloud, y_t: PointCloud,
         S = S + jnp.sum(a)
         col_w = jnp.sum(a, axis=0)          # per-target total weight
         row_w = jnp.sum(a, axis=1)
-        m_y = m_y + col_w @ yb.xyz
-        M_yy = M_yy + (yb.xyz * col_w[:, None]).T @ yb.xyz
+        m_y = m_y + _mm(col_w[None, :], yb.xyz)[0]
+        M_yy = M_yy + _mm((yb.xyz * col_w[:, None]).T, yb.xyz)
         # cross terms: sum_ij a x_i y_j^T and sum_ij a x_i
-        Ay = a @ yb.xyz                      # [N,3]
-        cr = cr + x.xyz.T @ Ay               # sum a x y^T
+        Ay = _mm(a, yb.xyz)                      # [N,3]
+        cr = cr + _mm(x.xyz.T, Ay)               # sum a x y^T
         dsum = dsum + jnp.stack(
             [jnp.sum(row_w * x.xyz[:, k]) for k in range(3)]
         )
@@ -342,7 +350,7 @@ def flow_stats(params, ell, x: PointCloud, y_t: PointCloud, chunk: int = DEFAULT
         yb = _slice_cloud(y_t, c * chunk, chunk)
         a = kernel_block(params, ell, x, yb)
         s = s + jnp.sum(a, axis=1)
-        w = w + a @ yb.xyz
+        w = w + _mm(a, yb.xyz)
         cnt = cnt + jnp.sum(a > 0)
         asum = asum + jnp.sum(a)
         return s, w, cnt, asum
@@ -419,10 +427,10 @@ def step_coeffs(
         yb = _slice_cloud(y_t, lo, chunk)
         a = kernel_block(params, ell, x, yb)
         sl = lambda arr: lax.dynamic_slice_in_dim(arr, lo, chunk, axis=0)
-        d1 = xp @ sl(xiz).T - sl(ydot1)[None, :]
-        d2_ = xp @ sl(xi2z).T - sl(ydot2)[None, :]
-        d3 = xp @ sl(xi3z).T - sl(ydot3)[None, :]
-        d4 = xp @ sl(xi4z).T - sl(ydot4)[None, :]
+        d1 = _mm(xp, sl(xiz).T) - sl(ydot1)[None, :]
+        d2_ = _mm(xp, sl(xi2z).T) - sl(ydot2)[None, :]
+        d3 = _mm(xp, sl(xi3z).T) - sl(ydot3)[None, :]
+        d4 = _mm(xp, sl(xi4z).T) - sl(ydot4)[None, :]
         beta = -2.0 * coef * d1
         gamma = -coef * (sl(normxiz2)[None, :] + 2.0 * d2_)
         delta = 2.0 * coef * (sl(xdx2)[None, :] - d3)

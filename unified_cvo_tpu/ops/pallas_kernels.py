@@ -104,8 +104,16 @@ class PackLayout:
         return 12 + self.feature_dim + self.num_classes
 
     @property
-    def x_dim(self):
+    def x_xyztc(self):  # tile-centered coordinates (cancellation-free d2)
         return 13 + self.feature_dim + self.num_classes
+
+    @property
+    def x_xyztcsq(self):  # |p - c_tile|^2
+        return 16 + self.feature_dim + self.num_classes
+
+    @property
+    def x_dim(self):
+        return 17 + self.feature_dim + self.num_classes
 
     # yT rows (same ordering, minus the x-only scalar columns)
     @property
@@ -182,8 +190,21 @@ def cloud_center(x: PointCloud):
     return jnp.sum(x.xyz * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1.0)
 
 
-def pack_x(params, lo: PackLayout, x: PointCloud, ell, center=None):
-    """[N, Dx] packed source matrix (per-i scalars precomputed)."""
+def pack_x(params, lo: PackLayout, x: PointCloud, ell, center=None,
+           tile: int = DEFAULT_TILE_I):
+    """([N, Dx] packed source matrix, [N//tile, 3] per-tile center offsets).
+
+    Besides the `center`-shifted coordinates (used for the flow matmul and
+    the per-pair step dot products, where the shift cancels between x and
+    y), each row carries coordinates recentered at its *tile's* AABB
+    midpoint. The geometric d2 is computed from those: the expansion
+    |x|^2 + |y|^2 - 2 x.y only stays accurate in fp32 when |x|, |y| are a
+    few metres (absolute rounding ~|p|^2 * 2^-24 must stay << ell^2), which
+    a Morton-compact tile guarantees but a whole 55 m KITTI scene does not.
+    The returned offsets c_tile - center shift the matching y block inside
+    the kernel (SMEM scalar prefetch)."""
+    from unified_cvo_tpu.ops import morton
+
     N = x.capacity
     xyz = x.xyz if center is None else x.xyz - center
     cols = [xyz, x.mask[:, None]]
@@ -205,7 +226,12 @@ def pack_x(params, lo: PackLayout, x: PointCloud, ell, center=None):
     g = x.geometric_types if x.geometric_types is not None else jnp.zeros((N, 2), jnp.float32)
     cols += [g, jnp.sum(g**2, -1, keepdims=True)]
     cols += [jnp.sum(xyz**2, -1, keepdims=True)]
-    return jnp.concatenate(cols, axis=1)
+    box_lo, box_hi = morton.tile_aabbs(x.xyz, x.mask, tile)
+    c_tile = jnp.where(box_lo <= box_hi, 0.5 * (box_lo + box_hi), 0.0)
+    xyz_tc = x.xyz - jnp.repeat(c_tile, tile, axis=0)
+    cols += [xyz_tc, jnp.sum(xyz_tc**2, -1, keepdims=True)]
+    offsets = c_tile if center is None else c_tile - center
+    return jnp.concatenate(cols, axis=1), offsets
 
 
 def pack_y(lo: PackLayout, y: PointCloud, twist: Optional[jax.Array] = None,
@@ -247,8 +273,21 @@ def pack_y(lo: PackLayout, y: PointCloud, twist: Optional[jax.Array] = None,
     return jnp.concatenate(rows, axis=0)
 
 
-def _a_block(params, lo: PackLayout, x, yT):
-    """Kernel-matrix tile from packed blocks (fill_in_A_mat_gpu semantics)."""
+def _y_tile_shift(lo: PackLayout, yT, offs_ref, i):
+    """[3, TJ] target coordinates recentered at source tile i's AABB
+    midpoint (y rows are `center`-shifted; offs = c_tile - center)."""
+    return jnp.concatenate(
+        [yT[lo.y_xyz + k : lo.y_xyz + k + 1, :] - offs_ref[i, k] for k in range(3)],
+        axis=0,
+    )
+
+
+def _a_block(params, lo: PackLayout, x, yT, y_shift):
+    """Kernel-matrix tile from packed blocks (fill_in_A_mat_gpu semantics).
+
+    `y_shift` is the [3, TJ] tile-recentered target block (_y_tile_shift);
+    the geometric d2 pairs it with the tile-centered x columns so the
+    |x|^2+|y|^2-2x.y MXU expansion stays cancellation-free in fp32."""
     f32 = jnp.float32
     TI = x.shape[0]
     TJ = yT.shape[1]
@@ -259,7 +298,7 @@ def _a_block(params, lo: PackLayout, x, yT):
     if lo.use_geo_type:
         dot = jax.lax.dot_general(
             x[:, lo.x_geo : lo.x_geo + 2], yT[lo.y_geo : lo.y_geo + 2, :],
-            (((1,), (0,)), ((), ())), preferred_element_type=f32,
+            (((1,), (0,)), ((), ())), preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST,
         )
         n2 = (x[:, lo.x_geon2 : lo.x_geon2 + 1] *
               yT[lo.y_geon2 : lo.y_geon2 + 1, :])
@@ -269,14 +308,15 @@ def _a_block(params, lo: PackLayout, x, yT):
 
     if lo.use_geometry:
         sigma2 = f32(params.sigma) ** 2
-        # d2 = |x|^2 + |y|^2 - 2 x.y with the cross term on the MXU
+        # d2 = |x|^2 + |y|^2 - 2 x.y with the cross term on the MXU,
+        # in tile-recentered coordinates (metres-scale magnitudes)
         cross_xy = jax.lax.dot_general(
-            x[:, lo.x_xyz : lo.x_xyz + 3], yT[lo.y_xyz : lo.y_xyz + 3, :],
-            (((1,), (0,)), ((), ())), preferred_element_type=f32,
+            x[:, lo.x_xyztc : lo.x_xyztc + 3], y_shift,
+            (((1,), (0,)), ((), ())), preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST,
         )
+        y_sq = jnp.sum(y_shift * y_shift, axis=0, keepdims=True)
         d2 = jnp.maximum(
-            x[:, lo.x_xyzsq : lo.x_xyzsq + 1]
-            + yT[lo.y_xyzsq : lo.y_xyzsq + 1, :] - 2.0 * cross_xy,
+            x[:, lo.x_xyztcsq : lo.x_xyztcsq + 1] + y_sq - 2.0 * cross_xy,
             0.0,
         )
         two_l2 = x[:, lo.x_twol2 : lo.x_twol2 + 1]
@@ -290,7 +330,7 @@ def _a_block(params, lo: PackLayout, x, yT):
         c_sigma2 = f32(params.c_sigma) ** 2
         cross = jax.lax.dot_general(
             x[:, lo.x_feat : lo.x_feat + F], yT[lo.y_feat : lo.y_feat + F, :],
-            (((1,), (0,)), ((), ())), preferred_element_type=f32,
+            (((1,), (0,)), ((), ())), preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST,
         )
         d2c = (x[:, lo.x_featsq : lo.x_featsq + 1]
                + yT[lo.y_featsq : lo.y_featsq + 1, :] - 2.0 * cross)
@@ -305,7 +345,7 @@ def _a_block(params, lo: PackLayout, x, yT):
         s_sigma2 = f32(params.s_sigma) ** 2
         cross = jax.lax.dot_general(
             x[:, lo.x_label : lo.x_label + C], yT[lo.y_label : lo.y_label + C, :],
-            (((1,), (0,)), ((), ())), preferred_element_type=f32,
+            (((1,), (0,)), ((), ())), preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST,
         )
         d2s = (x[:, lo.x_labelsq : lo.x_labelsq + 1]
                + yT[lo.y_labelsq : lo.y_labelsq + 1, :] - 2.0 * cross)
@@ -319,11 +359,8 @@ def _a_block(params, lo: PackLayout, x, yT):
     return jnp.where(ok & (a > sp), a, 0.0)
 
 
-def _flow_kernel(params, lo: PackLayout, use_mask: bool, n_j: int, *refs):
-    if use_mask:
-        mask_ref, x_ref, y_ref, s_ref, wy_ref, cnt_ref = refs
-    else:
-        x_ref, y_ref, s_ref, wy_ref, cnt_ref = refs
+def _flow_kernel(params, lo: PackLayout, n_j: int, *refs):
+    mask_ref, offs_ref, x_ref, y_ref, s_ref, wy_ref, cnt_ref = refs
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -333,28 +370,25 @@ def _flow_kernel(params, lo: PackLayout, use_mask: bool, n_j: int, *refs):
         wy_ref[:] = jnp.zeros_like(wy_ref)
         cnt_ref[:] = jnp.zeros_like(cnt_ref)
 
-    active = mask_ref[i * n_j + j] > 0 if use_mask else True
+    active = mask_ref[i * n_j + j] > 0
 
     @pl.when(active)
     def _():
         x = x_ref[:]
         yT = y_ref[:]
-        a = _a_block(params, lo, x, yT)
+        a = _a_block(params, lo, x, yT, _y_tile_shift(lo, yT, offs_ref, i))
         s_ref[:] = s_ref[:] + jnp.sum(a, axis=1, keepdims=True)
         cnt_ref[:] = cnt_ref[:] + jnp.sum(
             (a > 0).astype(jnp.float32), axis=1, keepdims=True
         )
         wy_ref[:] = wy_ref[:] + jax.lax.dot_general(
             a, yT[lo.y_xyz : lo.y_xyz + 3, :], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
         )
 
 
-def _step_kernel(params, lo: PackLayout, use_mask: bool, n_j: int, *refs):
-    if use_mask:
-        mask_ref, x_ref, y_ref, b_ref, c_ref, d_ref, e_ref = refs
-    else:
-        x_ref, y_ref, b_ref, c_ref, d_ref, e_ref = refs
+def _step_kernel(params, lo: PackLayout, n_j: int, *refs):
+    mask_ref, offs_ref, x_ref, y_ref, b_ref, c_ref, d_ref, e_ref = refs
     i = pl.program_id(0)
     jj = pl.program_id(1)
 
@@ -365,17 +399,19 @@ def _step_kernel(params, lo: PackLayout, use_mask: bool, n_j: int, *refs):
         d_ref[:] = jnp.zeros_like(d_ref)
         e_ref[:] = jnp.zeros_like(e_ref)
 
-    active = mask_ref[i * n_j + jj] > 0 if use_mask else True
+    active = mask_ref[i * n_j + jj] > 0
 
     @pl.when(active)
     def _():
-        _step_tile(params, lo, x_ref, y_ref, b_ref, c_ref, d_ref, e_ref)
+        _step_tile(params, lo, offs_ref, i, x_ref, y_ref,
+                   b_ref, c_ref, d_ref, e_ref)
 
 
-def _step_tile(params, lo: PackLayout, x_ref, y_ref, b_ref, c_ref, d_ref, e_ref):
+def _step_tile(params, lo: PackLayout, offs_ref, i, x_ref, y_ref,
+               b_ref, c_ref, d_ref, e_ref):
     x = x_ref[:]
     yT = y_ref[:]
-    a = _a_block(params, lo, x, yT)
+    a = _a_block(params, lo, x, yT, _y_tile_shift(lo, yT, offs_ref, i))
     f32 = jnp.float32
 
     def dots(k):
@@ -383,7 +419,7 @@ def _step_tile(params, lo: PackLayout, x_ref, y_ref, b_ref, c_ref, d_ref, e_ref)
         rows = yT[lo.y_xiz + 3 * k : lo.y_xiz + 3 * k + 3, :]
         xdot = jax.lax.dot_general(
             x[:, lo.x_xyz : lo.x_xyz + 3], rows, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
+            preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST,
         )
         ydot = jnp.sum(rows * yT[lo.y_xyz : lo.y_xyz + 3, :], axis=0, keepdims=True)
         return xdot - ydot
@@ -429,11 +465,14 @@ def flow_stats_pallas(params, ell, x: PointCloud, y_t: PointCloud,
     y_t = jnp_kernels.pad_cloud_to_multiple(y_t, tile_j)
     N, M = x.capacity, y_t.capacity
     center = cloud_center(x)
-    xp = pack_x(params, lo, x, jnp.asarray(ell, jnp.float32), center=center)
+    xp, offs = pack_x(params, lo, x, jnp.asarray(ell, jnp.float32),
+                      center=center, tile=tile_i)
     yp = pack_y(lo, y_t, center=center)
     grid, in_specs = _grid_specs(lo, N, M, tile_i, tile_j, lo.y_dim_flow, 2)
     nI, nJ = grid
-    use_mask = tile_mask is not None
+    if tile_mask is None:
+        tile_mask = jnp.ones((nI, nJ), jnp.int32)
+    assert tile_mask.shape == (nI, nJ), (tile_mask.shape, grid)
     out_specs = [
         pl.BlockSpec((tile_i, 1), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((tile_i, 3), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM),
@@ -444,27 +483,16 @@ def flow_stats_pallas(params, ell, x: PointCloud, y_t: PointCloud,
         jax.ShapeDtypeStruct((N, 3), jnp.float32),
         jax.ShapeDtypeStruct((N, 1), jnp.float32),
     ]
-    if use_mask:
-        assert tile_mask.shape == (nI, nJ), (tile_mask.shape, grid)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
-            out_specs=out_specs,
-        )
-        out = pl.pallas_call(
-            functools.partial(_flow_kernel, params, lo, True, nJ),
-            grid_spec=grid_spec,
-            out_shape=out_shape,
-            interpret=interpret,
-        )(tile_mask.reshape(-1).astype(jnp.int32), xp, yp)
-    else:
-        out = pl.pallas_call(
-            functools.partial(_flow_kernel, params, lo, False, nJ),
-            grid=grid,
-            in_specs=in_specs,
-            out_specs=out_specs,
-            out_shape=out_shape,
-            interpret=interpret,
-        )(xp, yp)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=grid, in_specs=in_specs,
+        out_specs=out_specs,
+    )
+    out = pl.pallas_call(
+        functools.partial(_flow_kernel, params, lo, nJ),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(tile_mask.reshape(-1).astype(jnp.int32), offs, xp, yp)
     s, wy, cnt = out
     # kernel accumulated sum_j a_ij (y_j - c); restore raw-frame wy
     wy = wy + s * center[None, :]
@@ -484,35 +512,28 @@ def step_coeffs_pallas(params, ell, x: PointCloud, y_t: PointCloud, twist,
     y_t = jnp_kernels.pad_cloud_to_multiple(y_t, tile_j)
     N, M = x.capacity, y_t.capacity
     center = cloud_center(x)
-    xp = pack_x(params, lo, x, jnp.asarray(ell, jnp.float32), center=center)
+    xp, offs = pack_x(params, lo, x, jnp.asarray(ell, jnp.float32),
+                      center=center, tile=tile_i)
     yp = pack_y(lo, y_t, twist=jnp.asarray(twist, jnp.float32), center=center)
     grid, in_specs = _grid_specs(lo, N, M, tile_i, tile_j, lo.y_dim_step, 0)
     nI, nJ = grid
-    use_mask = tile_mask is not None
+    if tile_mask is None:
+        tile_mask = jnp.ones((nI, nJ), jnp.int32)
+    assert tile_mask.shape == (nI, nJ), (tile_mask.shape, grid)
     out_specs = [
         pl.BlockSpec((tile_i, 1), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM)
         for _ in range(4)
     ]
     out_shape = [jax.ShapeDtypeStruct((N, 1), jnp.float32) for _ in range(4)]
-    if use_mask:
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
-            out_specs=out_specs,
-        )
-        outs = pl.pallas_call(
-            functools.partial(_step_kernel, params, lo, True, nJ),
-            grid_spec=grid_spec,
-            out_shape=out_shape,
-            interpret=interpret,
-        )(tile_mask.reshape(-1).astype(jnp.int32), xp, yp)
-    else:
-        outs = pl.pallas_call(
-            functools.partial(_step_kernel, params, lo, False, nJ),
-            grid=grid,
-            in_specs=in_specs,
-            out_specs=out_specs,
-            out_shape=out_shape,
-            interpret=interpret,
-        )(xp, yp)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=grid, in_specs=in_specs,
+        out_specs=out_specs,
+    )
+    outs = pl.pallas_call(
+        functools.partial(_step_kernel, params, lo, nJ),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(tile_mask.reshape(-1).astype(jnp.int32), offs, xp, yp)
     B, C, D, E = (jnp.sum(o) for o in outs)
     return B, C, D, E
