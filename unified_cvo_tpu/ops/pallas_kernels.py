@@ -12,9 +12,12 @@ Mosaic kernels over a (source-tile x target-tile) grid:
 Data layout is TPU-first: the source cloud is packed row-major [N, Dx]
 (points on sublanes), the target cloud is packed *transposed* [Dy, M]
 (points on lanes), so per-pair coordinate differences broadcast as
-[TI,1] - [1,TJ] with no in-kernel transposes, and every feature/semantic
-distance and flow-derivative dot product is an MXU matmul
-x_block @ yT_block. The kernel matrix A lives only in VMEM.
+[TI,1] - [1,TJ] with no in-kernel transposes. Geometric distances, flow
+accumulation and step dot products are exact-f32 VPU broadcasts (K=3
+matmuls waste the MXU, and TPU matmuls default to bf16 inputs which
+cancel catastrophically at scene coordinate magnitudes); the wide
+feature/semantic distances ride the MXU at HIGHEST precision. The kernel
+matrix A lives only in VMEM.
 
 All tiles accumulate into per-source-row outputs across the j grid axis
 (j innermost; Pallas keeps the output block resident between consecutive
@@ -40,6 +43,7 @@ from unified_cvo_tpu.utils.pointcloud import PointCloud
 
 DEFAULT_TILE_I = 256
 DEFAULT_TILE_J = 256  # best culled-grid throughput (tile sweep in commit log)
+
 
 
 @dataclasses.dataclass(frozen=True)
@@ -100,20 +104,8 @@ class PackLayout:
         return 11 + self.feature_dim + self.num_classes
 
     @property
-    def x_xyzsq(self):  # |p|^2 (so d2 = |x|^2+|y|^2-2x.y rides the MXU)
-        return 12 + self.feature_dim + self.num_classes
-
-    @property
-    def x_xyztc(self):  # tile-centered coordinates (cancellation-free d2)
-        return 13 + self.feature_dim + self.num_classes
-
-    @property
-    def x_xyztcsq(self):  # |p - c_tile|^2
-        return 16 + self.feature_dim + self.num_classes
-
-    @property
     def x_dim(self):
-        return 17 + self.feature_dim + self.num_classes
+        return 12 + self.feature_dim + self.num_classes
 
     # yT rows (same ordering, minus the x-only scalar columns)
     @property
@@ -148,26 +140,22 @@ class PackLayout:
     def y_geon2(self):
         return 8 + self.feature_dim + self.num_classes
 
-    @property
-    def y_xyzsq(self):  # |p|^2
-        return 9 + self.feature_dim + self.num_classes
-
     # flow-derivative rows (step pass only)
     @property
     def y_xiz(self):
-        return 10 + self.feature_dim + self.num_classes
+        return 9 + self.feature_dim + self.num_classes
 
     @property
     def y_scalars(self):  # normxiz2, xdx2, epsil_const
-        return 22 + self.feature_dim + self.num_classes
+        return 21 + self.feature_dim + self.num_classes
 
     @property
     def y_dim_flow(self):
-        return 10 + self.feature_dim + self.num_classes
+        return 9 + self.feature_dim + self.num_classes
 
     @property
     def y_dim_step(self):
-        return 25 + self.feature_dim + self.num_classes
+        return 24 + self.feature_dim + self.num_classes
 
 
 def layout_for(params, x: PointCloud) -> PackLayout:
@@ -190,21 +178,8 @@ def cloud_center(x: PointCloud):
     return jnp.sum(x.xyz * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1.0)
 
 
-def pack_x(params, lo: PackLayout, x: PointCloud, ell, center=None,
-           tile: int = DEFAULT_TILE_I):
-    """([N, Dx] packed source matrix, [N//tile, 3] per-tile center offsets).
-
-    Besides the `center`-shifted coordinates (used for the flow matmul and
-    the per-pair step dot products, where the shift cancels between x and
-    y), each row carries coordinates recentered at its *tile's* AABB
-    midpoint. The geometric d2 is computed from those: the expansion
-    |x|^2 + |y|^2 - 2 x.y only stays accurate in fp32 when |x|, |y| are a
-    few metres (absolute rounding ~|p|^2 * 2^-24 must stay << ell^2), which
-    a Morton-compact tile guarantees but a whole 55 m KITTI scene does not.
-    The returned offsets c_tile - center shift the matching y block inside
-    the kernel (SMEM scalar prefetch)."""
-    from unified_cvo_tpu.ops import morton
-
+def pack_x(params, lo: PackLayout, x: PointCloud, ell, center=None):
+    """[N, Dx] packed source matrix (per-i scalars precomputed)."""
     N = x.capacity
     xyz = x.xyz if center is None else x.xyz - center
     cols = [xyz, x.mask[:, None]]
@@ -225,13 +200,7 @@ def pack_x(params, lo: PackLayout, x: PointCloud, ell, center=None,
         cols += [jnp.zeros((N, 0), jnp.float32), jnp.zeros((N, 1), jnp.float32)]
     g = x.geometric_types if x.geometric_types is not None else jnp.zeros((N, 2), jnp.float32)
     cols += [g, jnp.sum(g**2, -1, keepdims=True)]
-    cols += [jnp.sum(xyz**2, -1, keepdims=True)]
-    box_lo, box_hi = morton.tile_aabbs(x.xyz, x.mask, tile)
-    c_tile = jnp.where(box_lo <= box_hi, 0.5 * (box_lo + box_hi), 0.0)
-    xyz_tc = x.xyz - jnp.repeat(c_tile, tile, axis=0)
-    cols += [xyz_tc, jnp.sum(xyz_tc**2, -1, keepdims=True)]
-    offsets = c_tile if center is None else c_tile - center
-    return jnp.concatenate(cols, axis=1), offsets
+    return jnp.concatenate(cols, axis=1)
 
 
 def pack_y(lo: PackLayout, y: PointCloud, twist: Optional[jax.Array] = None,
@@ -254,7 +223,6 @@ def pack_y(lo: PackLayout, y: PointCloud, twist: Optional[jax.Array] = None,
         rows += [jnp.zeros((0, M), jnp.float32), jnp.zeros((1, M), jnp.float32)]
     g = y.geometric_types if y.geometric_types is not None else jnp.zeros((M, 2), jnp.float32)
     rows += [g.T, jnp.sum(g**2, -1)[None, :]]
-    rows += [jnp.sum(xyz_c**2, -1)[None, :]]
     if twist is not None:
         omega, v = twist[:3], twist[3:]
         W = lie.skew(omega)
@@ -273,21 +241,8 @@ def pack_y(lo: PackLayout, y: PointCloud, twist: Optional[jax.Array] = None,
     return jnp.concatenate(rows, axis=0)
 
 
-def _y_tile_shift(lo: PackLayout, yT, offs_ref, i):
-    """[3, TJ] target coordinates recentered at source tile i's AABB
-    midpoint (y rows are `center`-shifted; offs = c_tile - center)."""
-    return jnp.concatenate(
-        [yT[lo.y_xyz + k : lo.y_xyz + k + 1, :] - offs_ref[i, k] for k in range(3)],
-        axis=0,
-    )
-
-
-def _a_block(params, lo: PackLayout, x, yT, y_shift):
-    """Kernel-matrix tile from packed blocks (fill_in_A_mat_gpu semantics).
-
-    `y_shift` is the [3, TJ] tile-recentered target block (_y_tile_shift);
-    the geometric d2 pairs it with the tile-centered x columns so the
-    |x|^2+|y|^2-2x.y MXU expansion stays cancellation-free in fp32."""
+def _a_block(params, lo: PackLayout, x, yT):
+    """Kernel-matrix tile from packed blocks (fill_in_A_mat_gpu semantics)."""
     f32 = jnp.float32
     TI = x.shape[0]
     TJ = yT.shape[1]
@@ -308,17 +263,14 @@ def _a_block(params, lo: PackLayout, x, yT, y_shift):
 
     if lo.use_geometry:
         sigma2 = f32(params.sigma) ** 2
-        # d2 = |x|^2 + |y|^2 - 2 x.y with the cross term on the MXU,
-        # in tile-recentered coordinates (metres-scale magnitudes)
-        cross_xy = jax.lax.dot_general(
-            x[:, lo.x_xyztc : lo.x_xyztc + 3], y_shift,
-            (((1,), (0,)), ((), ())), preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST,
-        )
-        y_sq = jnp.sum(y_shift * y_shift, axis=0, keepdims=True)
-        d2 = jnp.maximum(
-            x[:, lo.x_xyztcsq : lo.x_xyztcsq + 1] + y_sq - 2.0 * cross_xy,
-            0.0,
-        )
+        # explicit per-axis differences on the VPU: exact in f32 (the
+        # |x|^2+|y|^2-2x.y MXU expansion cancels catastrophically at KITTI
+        # coordinate magnitudes, and a K=3 matmul wastes the MXU anyway)
+        d2 = None
+        for c in range(3):
+            diff = (x[:, lo.x_xyz + c : lo.x_xyz + c + 1]
+                    - yT[lo.y_xyz + c : lo.y_xyz + c + 1, :])
+            d2 = diff * diff if d2 is None else d2 + diff * diff
         two_l2 = x[:, lo.x_twol2 : lo.x_twol2 + 1]
         ok &= d2 < x[:, lo.x_d2thres : lo.x_d2thres + 1]
         k = sigma2 * jnp.exp(-d2 / two_l2)
@@ -360,7 +312,7 @@ def _a_block(params, lo: PackLayout, x, yT, y_shift):
 
 
 def _flow_kernel(params, lo: PackLayout, n_j: int, *refs):
-    mask_ref, offs_ref, x_ref, y_ref, s_ref, wy_ref, cnt_ref = refs
+    mask_ref, x_ref, y_ref, s_ref, wy_ref, cnt_ref = refs
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -376,19 +328,20 @@ def _flow_kernel(params, lo: PackLayout, n_j: int, *refs):
     def _():
         x = x_ref[:]
         yT = y_ref[:]
-        a = _a_block(params, lo, x, yT, _y_tile_shift(lo, yT, offs_ref, i))
+        a = _a_block(params, lo, x, yT)
         s_ref[:] = s_ref[:] + jnp.sum(a, axis=1, keepdims=True)
         cnt_ref[:] = cnt_ref[:] + jnp.sum(
             (a > 0).astype(jnp.float32), axis=1, keepdims=True
         )
-        wy_ref[:] = wy_ref[:] + jax.lax.dot_general(
-            a, yT[lo.y_xyz : lo.y_xyz + 3, :], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        wy_ref[:] = wy_ref[:] + jnp.concatenate(
+            [jnp.sum(a * yT[lo.y_xyz + c : lo.y_xyz + c + 1, :],
+                     axis=1, keepdims=True) for c in range(3)],
+            axis=1,
         )
 
 
 def _step_kernel(params, lo: PackLayout, n_j: int, *refs):
-    mask_ref, offs_ref, x_ref, y_ref, b_ref, c_ref, d_ref, e_ref = refs
+    mask_ref, x_ref, y_ref, b_ref, c_ref, d_ref, e_ref = refs
     i = pl.program_id(0)
     jj = pl.program_id(1)
 
@@ -403,26 +356,28 @@ def _step_kernel(params, lo: PackLayout, n_j: int, *refs):
 
     @pl.when(active)
     def _():
-        _step_tile(params, lo, offs_ref, i, x_ref, y_ref,
-                   b_ref, c_ref, d_ref, e_ref)
+        _step_tile(params, lo, x_ref, y_ref, b_ref, c_ref, d_ref, e_ref)
 
 
-def _step_tile(params, lo: PackLayout, offs_ref, i, x_ref, y_ref,
-               b_ref, c_ref, d_ref, e_ref):
+def _step_tile(params, lo: PackLayout, x_ref, y_ref, b_ref, c_ref, d_ref, e_ref):
     x = x_ref[:]
     yT = y_ref[:]
-    a = _a_block(params, lo, x, yT, _y_tile_shift(lo, yT, offs_ref, i))
+    a = _a_block(params, lo, x, yT)
     f32 = jnp.float32
 
+    diffs = [
+        x[:, lo.x_xyz + c : lo.x_xyz + c + 1]
+        - yT[lo.y_xyz + c : lo.y_xyz + c + 1, :]
+        for c in range(3)
+    ]
+
     def dots(k):
-        """x . xi{k}z - y_j . xi{k}z  (per-pair dot with d_ij = x_i - y_j)."""
-        rows = yT[lo.y_xiz + 3 * k : lo.y_xiz + 3 * k + 3, :]
-        xdot = jax.lax.dot_general(
-            x[:, lo.x_xyz : lo.x_xyz + 3], rows, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST,
-        )
-        ydot = jnp.sum(rows * yT[lo.y_xyz : lo.y_xyz + 3, :], axis=0, keepdims=True)
-        return xdot - ydot
+        """(x_i - y_j) . xi{k}z_j via shared per-axis difference tiles."""
+        acc = None
+        for c in range(3):
+            t = diffs[c] * yT[lo.y_xiz + 3 * k + c : lo.y_xiz + 3 * k + c + 1, :]
+            acc = t if acc is None else acc + t
+        return acc
 
     coef = x[:, lo.x_coef : lo.x_coef + 1]
     d1, d2_, d3, d4 = dots(0), dots(1), dots(2), dots(3)
@@ -465,8 +420,7 @@ def flow_stats_pallas(params, ell, x: PointCloud, y_t: PointCloud,
     y_t = jnp_kernels.pad_cloud_to_multiple(y_t, tile_j)
     N, M = x.capacity, y_t.capacity
     center = cloud_center(x)
-    xp, offs = pack_x(params, lo, x, jnp.asarray(ell, jnp.float32),
-                      center=center, tile=tile_i)
+    xp = pack_x(params, lo, x, jnp.asarray(ell, jnp.float32), center=center)
     yp = pack_y(lo, y_t, center=center)
     grid, in_specs = _grid_specs(lo, N, M, tile_i, tile_j, lo.y_dim_flow, 2)
     nI, nJ = grid
@@ -484,7 +438,7 @@ def flow_stats_pallas(params, ell, x: PointCloud, y_t: PointCloud,
         jax.ShapeDtypeStruct((N, 1), jnp.float32),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2, grid=grid, in_specs=in_specs,
+        num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
         out_specs=out_specs,
     )
     out = pl.pallas_call(
@@ -492,7 +446,7 @@ def flow_stats_pallas(params, ell, x: PointCloud, y_t: PointCloud,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(tile_mask.reshape(-1).astype(jnp.int32), offs, xp, yp)
+    )(tile_mask.reshape(-1).astype(jnp.int32), xp, yp)
     s, wy, cnt = out
     # kernel accumulated sum_j a_ij (y_j - c); restore raw-frame wy
     wy = wy + s * center[None, :]
@@ -512,8 +466,7 @@ def step_coeffs_pallas(params, ell, x: PointCloud, y_t: PointCloud, twist,
     y_t = jnp_kernels.pad_cloud_to_multiple(y_t, tile_j)
     N, M = x.capacity, y_t.capacity
     center = cloud_center(x)
-    xp, offs = pack_x(params, lo, x, jnp.asarray(ell, jnp.float32),
-                      center=center, tile=tile_i)
+    xp = pack_x(params, lo, x, jnp.asarray(ell, jnp.float32), center=center)
     yp = pack_y(lo, y_t, twist=jnp.asarray(twist, jnp.float32), center=center)
     grid, in_specs = _grid_specs(lo, N, M, tile_i, tile_j, lo.y_dim_step, 0)
     nI, nJ = grid
@@ -526,7 +479,7 @@ def step_coeffs_pallas(params, ell, x: PointCloud, y_t: PointCloud, twist,
     ]
     out_shape = [jax.ShapeDtypeStruct((N, 1), jnp.float32) for _ in range(4)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2, grid=grid, in_specs=in_specs,
+        num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
         out_specs=out_specs,
     )
     outs = pl.pallas_call(
@@ -534,6 +487,6 @@ def step_coeffs_pallas(params, ell, x: PointCloud, y_t: PointCloud, twist,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(tile_mask.reshape(-1).astype(jnp.int32), offs, xp, yp)
+    )(tile_mask.reshape(-1).astype(jnp.int32), xp, yp)
     B, C, D, E = (jnp.sum(o) for o in outs)
     return B, C, D, E
