@@ -57,8 +57,13 @@ def main(argv=None):
     print("Transform is\n", T)
     print(f"Average registration time is {elapsed:.3f} s")
 
+    # function_angle applies the INVERSE of its transform to the moving cloud
+    # (inner_product_impl convention, CvoGPU.cu:1719-1778); the align result
+    # maps target->source directly, so pass its inverse.
     cos_before = float(function_angle(src, tgt, jnp.eye(4), 0.5, params))
-    cos_after = float(function_angle(src, tgt, jnp.asarray(T), 0.5, params))
+    cos_after = float(
+        function_angle(src, tgt, jnp.asarray(np.linalg.inv(T)), 0.5, params)
+    )
     print(f"function_angle(ell=0.5): before {cos_before:.4f} after {cos_after:.4f}")
 
     tx_new = tx @ T[:3, :3].T + T[:3, 3]

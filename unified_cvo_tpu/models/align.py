@@ -151,14 +151,16 @@ def align(
             y_lo, y_hi = morton.tile_aabbs(y_t.xyz, y_t.mask, tile_j)
             d2max = morton.tile_d2max(p, ell, x.xyz, x.mask, tile_i)
             mask = morton.tile_cull_mask(x_lo, x_hi, d2max, y_lo, y_hi)
-            return pk.flow_stats_pallas(p, ell, x, y_t, tile_mask=mask,
+            return pk.flow_stats_pallas(p, ell, x, y_t, tile_i=tile_i,
+                                        tile_j=tile_j, tile_mask=mask,
                                         interpret=interp)
 
         def step_fn(p, ell, x, y_t, tw):
             y_lo, y_hi = morton.tile_aabbs(y_t.xyz, y_t.mask, tile_j)
             d2max = morton.tile_d2max(p, ell, x.xyz, x.mask, tile_i)
             mask = morton.tile_cull_mask(x_lo, x_hi, d2max, y_lo, y_hi)
-            return pk.step_coeffs_pallas(p, ell, x, y_t, tw, tile_mask=mask,
+            return pk.step_coeffs_pallas(p, ell, x, y_t, tw, tile_i=tile_i,
+                                         tile_j=tile_j, tile_mask=mask,
                                          interpret=interp)
     else:
         flow_fn, step_fn = _stats_fns(backend, chunk)

@@ -80,7 +80,7 @@ def _edge_moments_single(params, ell, c1: PointCloud, c2: PointCloud,
         yb = kernels._slice_cloud(c2_pad, c * chunk, chunk)
         a = kernels.kernel_block(params, ell, c1_t, yb_t)
         rs = rs + jnp.sum(a, axis=1)
-        ah2 = ah2 + a @ _homog(yb.xyz)
+        ah2 = ah2 + kernels._mm(a, _homog(yb.xyz))
         cs = cs.at[c].set(jnp.sum(a, axis=0))
         cnt = cnt + jnp.sum(a > 0)
         return rs, ah2, cs, cnt
@@ -94,9 +94,9 @@ def _edge_moments_single(params, ell, c1: PointCloud, c2: PointCloud,
     row_sum, a_h2, col_chunks, cnt = lax.fori_loop(0, nchunks, body, init)
     col_sum = col_chunks.reshape(M)
     h2 = _homog(c2_pad.xyz)
-    P12 = h1.T @ a_h2
-    P11 = (h1 * row_sum[:, None]).T @ h1
-    P22 = (h2 * col_sum[:, None]).T @ h2
+    P12 = kernels._mm(h1.T, a_h2)
+    P11 = kernels._mm((h1 * row_sum[:, None]).T, h1)
+    P22 = kernels._mm((h2 * col_sum[:, None]).T, h2)
     return EdgeMoments(P11, P12, P22, cnt)
 
 
@@ -259,6 +259,15 @@ def irls_solve(
         jnp.asarray([0, 0, 0, 1, 1, 1], jnp.float32) if translation_only else None
     )
     poses = jnp.asarray(init_poses, jnp.float32)
+    # Recenter the world frame at the mean frame translation: the moment
+    # contractions (M = T P T^T, cost = tr M11 - 2 tr M12 + tr M22) cancel
+    # |q|^2-scale terms down to a residual-scale signal, which f32 only
+    # survives when world coordinates stay tens of metres (the reference
+    # runs Ceres in doubles instead, IRLS.cpp:146-159). Pure translation,
+    # undone on return; kernel evaluation is translation invariant apart
+    # from the reference's own range_ell(|transformed point|) quirk.
+    world_center = jnp.mean(poses[:, :, 3], axis=0)
+    poses = poses.at[:, :, 3].add(-world_center)
     edge_i = jnp.asarray([e[0] for e in edges], jnp.int32)
     edge_j = jnp.asarray([e[1] for e in edges], jnp.int32)
     pivot_mask = jnp.asarray(np.asarray(pivot_flags, np.float32))
@@ -273,6 +282,8 @@ def irls_solve(
         if os.path.exists(checkpoint_path):
             snap = np.load(checkpoint_path)
             poses = jnp.asarray(snap["poses"], jnp.float32)
+            if "world_center" in snap:
+                world_center = jnp.asarray(snap["world_center"], jnp.float32)
             ell = float(snap["ell"])
             iter_ = int(snap["iter"])
             last_nonzeros = int(snap["last_nonzeros"])
@@ -309,10 +320,12 @@ def irls_solve(
             np.savez(
                 checkpoint_path,
                 poses=np.asarray(poses),
+                world_center=np.asarray(world_center),
                 ell=ell,
                 iter=iter_,
                 last_nonzeros=last_nonzeros,
             )
+    poses = poses.at[:, :, 3].add(world_center)
     return np.asarray(poses), history
 
 

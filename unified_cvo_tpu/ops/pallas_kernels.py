@@ -41,8 +41,8 @@ from unified_cvo_tpu.ops import kernels as jnp_kernels
 from unified_cvo_tpu.ops import lie
 from unified_cvo_tpu.utils.pointcloud import PointCloud
 
-DEFAULT_TILE_I = 256
-DEFAULT_TILE_J = 256  # best culled-grid throughput (tile sweep in commit log)
+DEFAULT_TILE_I = 128  # narrow source tiles cull tighter (smaller AABBs)
+DEFAULT_TILE_J = 512  # wide target tiles amortize per-grid-step overhead
 
 
 
@@ -68,7 +68,7 @@ class PackLayout:
         return 3
 
     @property
-    def x_twol2(self):  # 2*l_i^2 (range-scaled geometric lengthscale)
+    def x_twol2(self):  # -1/(2*l_i^2) (range-scaled geometric lengthscale)
         return 4
 
     @property
@@ -185,11 +185,12 @@ def pack_x(params, lo: PackLayout, x: PointCloud, ell, center=None):
     cols = [xyz, x.mask[:, None]]
     rng = jnp_kernels.range_ell(ell, jnp.linalg.norm(x.xyz, axis=-1))
     two_l2 = 2.0 * rng * rng
+    neg_inv_two_l2 = -1.0 / two_l2
     sigma2 = jnp.float32(params.sigma) ** 2
     d2_thres = -two_l2 * jnp.log(jnp.float32(params.sp_thres) / sigma2)
     step_l = rng if lo.use_range_ell_step else jnp.full((N,), ell, jnp.float32)
     coef = 1.0 / (2.0 * step_l * step_l)
-    cols += [two_l2[:, None], d2_thres[:, None], coef[:, None]]
+    cols += [neg_inv_two_l2[:, None], d2_thres[:, None], coef[:, None]]
     if lo.use_intensity:
         cols += [x.features, jnp.sum(x.features**2, -1, keepdims=True)]
     else:
@@ -251,13 +252,12 @@ def _a_block(params, lo: PackLayout, x, yT):
     ok = (x[:, lo.x_mask : lo.x_mask + 1] > 0) & (yT[lo.y_mask : lo.y_mask + 1, :] > 0)
 
     if lo.use_geo_type:
-        dot = jax.lax.dot_general(
-            x[:, lo.x_geo : lo.x_geo + 2], yT[lo.y_geo : lo.y_geo + 2, :],
-            (((1,), (0,)), ((), ())), preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST,
-        )
+        dot = (x[:, lo.x_geo : lo.x_geo + 1] * yT[lo.y_geo : lo.y_geo + 1, :]
+               + x[:, lo.x_geo + 1 : lo.x_geo + 2]
+               * yT[lo.y_geo + 1 : lo.y_geo + 2, :])
         n2 = (x[:, lo.x_geon2 : lo.x_geon2 + 1] *
               yT[lo.y_geon2 : lo.y_geon2 + 1, :])
-        geo = dot * dot / jnp.maximum(n2, 1e-12)
+        geo = dot * dot * (1.0 / jnp.maximum(n2, 1e-12))
         ok &= geo >= 0.01
         a = geo
 
@@ -271,9 +271,8 @@ def _a_block(params, lo: PackLayout, x, yT):
             diff = (x[:, lo.x_xyz + c : lo.x_xyz + c + 1]
                     - yT[lo.y_xyz + c : lo.y_xyz + c + 1, :])
             d2 = diff * diff if d2 is None else d2 + diff * diff
-        two_l2 = x[:, lo.x_twol2 : lo.x_twol2 + 1]
         ok &= d2 < x[:, lo.x_d2thres : lo.x_d2thres + 1]
-        k = sigma2 * jnp.exp(-d2 / two_l2)
+        k = sigma2 * jnp.exp(d2 * x[:, lo.x_twol2 : lo.x_twol2 + 1])
         a = k if a is None else a * k
 
     if lo.use_intensity:

@@ -102,6 +102,10 @@ def make_sharded_ba_step(params: CvoParams, mesh: Mesh, axis: str = "dp",
 
     @functools.partial(jax.jit, static_argnames=())
     def step(clouds, poses, edge_i, edge_j, edge_valid, pivot_mask, ell):
+        # recenter the world at the mean frame translation so the f32 moment
+        # contractions keep residual-scale accuracy (see irls_solve)
+        world_center = jnp.mean(poses[:, :, 3], axis=0)
+        poses = poses.at[:, :, 3].add(-world_center)
         cloud_specs = jax.tree.map(lambda a: P(), clouds)
         fn = jax.shard_map(
             local,
@@ -110,6 +114,9 @@ def make_sharded_ba_step(params: CvoParams, mesh: Mesh, axis: str = "dp",
             out_specs=(P(), P(), P()),
             check_vma=False,
         )
-        return fn(clouds, poses, edge_i, edge_j, edge_valid, pivot_mask, ell)
+        poses_new, cost, nz = fn(
+            clouds, poses, edge_i, edge_j, edge_valid, pivot_mask, ell
+        )
+        return poses_new.at[:, :, 3].add(world_center), cost, nz
 
     return step
