@@ -16,6 +16,15 @@ parallel  : mesh sharding, batched f2f alignment, distributed BA
 utils     : point-cloud containers, voxel grid, trajectory metrics
 """
 
+import jax as _jax
+
+# Registration math is cancellation-heavy (pose chains, moment contractions,
+# kernel distances at scene-coordinate magnitudes); TPU XLA's default bf16
+# matmul inputs silently destroy it (~0.4% rounding of a rotation entry per
+# composition). The hot Pallas/jnp kernels pin their precision explicitly;
+# this covers every small pose/moment matmul elsewhere at negligible cost.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from unified_cvo_tpu.config import CvoParams, read_cvo_params_yaml
 
 __version__ = "0.1.0"
