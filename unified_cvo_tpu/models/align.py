@@ -94,7 +94,7 @@ def align(
     record_history: bool = False,
     chunk: int = kernels.DEFAULT_CHUNK,
     max_iter: Optional[int] = None,
-    backend: str = "jnp",
+    backend: str = "auto",
     adaptive_ell: Optional[bool] = None,
     spatial_culling: bool = True,
 ):
@@ -104,8 +104,9 @@ def align(
     init_guess_transform argument (callers typically pass the inverse of the
     source->target prior; see main_cvo_gpu_align_two_color_pcd.cpp:71-82).
 
-    backend: 'jnp' (blocked XLA passes), 'pallas' (fused TPU kernels), or
-    'pallas_interpret' (Pallas interpreter, for CPU validation).
+    backend: 'auto' (pallas on accelerators, jnp on CPU), 'jnp' (blocked XLA
+    passes), 'pallas' (fused TPU kernels), or 'pallas_interpret' (Pallas
+    interpreter, for CPU validation).
 
     adaptive_ell: ACVO mode (reference AdaptiveCvoGPU.cu, ENABLE_ACVO
     variant) — instead of the indicator-window decay schedule, ell follows
@@ -116,6 +117,10 @@ def align(
     (gradient assembly at AdaptiveCvoGPU.cu:612-712, 869-885; update at
     :1198). Defaults to params.is_ell_adaptive.
     """
+    if backend == "auto":
+        # fused Pallas kernels on accelerators; blocked-XLA passes on CPU
+        # (Mosaic's CPU path is the slow interpreter)
+        backend = "jnp" if jax.default_backend() == "cpu" else "pallas"
     if adaptive_ell is None:
         adaptive_ell = bool(params.is_ell_adaptive)
     f32 = jnp.float32
