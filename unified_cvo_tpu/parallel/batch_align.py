@@ -37,7 +37,7 @@ def stack_pairs(sources: List[PointCloud], targets: List[PointCloud]):
 
 def make_batch_align(params: CvoParams, mesh: Optional[Mesh] = None,
                      axis: str = "dp", chunk: int = 1024,
-                     max_iter: Optional[int] = None, backend: str = "jnp"):
+                     max_iter: Optional[int] = None, backend: str = "auto"):
     """Returns jitted fn(src_batch, tgt_batch, init_batch[B,4,4]) ->
     (transforms [B,4,4], rets [B], iterations [B]).
 
