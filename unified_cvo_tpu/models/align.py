@@ -152,23 +152,28 @@ def align(
         x_lo, x_hi = morton.tile_aabbs(source.xyz, source.mask, tile_i)
         interp = backend == "pallas_interpret"
 
-        def flow_fn(p, ell, x, y_t):
+        def prep_fn(p, ell, x, y_t):
+            """One compacted active-pair schedule per iteration, shared by
+            the flow and step passes (same transformed target)."""
             y_lo, y_hi = morton.tile_aabbs(y_t.xyz, y_t.mask, tile_j)
             d2max = morton.tile_d2max(p, ell, x.xyz, x.mask, tile_i)
             mask = morton.tile_cull_mask(x_lo, x_hi, d2max, y_lo, y_hi)
+            return pk.compact_tile_mask(mask)
+
+        def flow_fn(p, ell, x, y_t, comp):
             return pk.flow_stats_pallas(p, ell, x, y_t, tile_i=tile_i,
-                                        tile_j=tile_j, tile_mask=mask,
+                                        tile_j=tile_j, compaction=comp,
                                         interpret=interp)
 
-        def step_fn(p, ell, x, y_t, tw):
-            y_lo, y_hi = morton.tile_aabbs(y_t.xyz, y_t.mask, tile_j)
-            d2max = morton.tile_d2max(p, ell, x.xyz, x.mask, tile_i)
-            mask = morton.tile_cull_mask(x_lo, x_hi, d2max, y_lo, y_hi)
+        def step_fn(p, ell, x, y_t, tw, comp):
             return pk.step_coeffs_pallas(p, ell, x, y_t, tw, tile_i=tile_i,
-                                         tile_j=tile_j, tile_mask=mask,
+                                         tile_j=tile_j, compaction=comp,
                                          interpret=interp)
     else:
-        flow_fn, step_fn = _stats_fns(backend, chunk)
+        _flow, _step = _stats_fns(backend, chunk)
+        prep_fn = lambda p, ell, x, y_t: None
+        flow_fn = lambda p, ell, x, y_t, comp: _flow(p, ell, x, y_t)
+        step_fn = lambda p, ell, x, y_t, tw, comp: _step(p, ell, x, y_t, tw)
 
     if record_history:
         hist = {
@@ -185,9 +190,10 @@ def align(
         Rinv, Tinv = lie.invert_rt(c.R, c.T)
         y_t = target.transformed(Rinv, Tinv)
 
-        stats = flow_fn(params, c.ell, source, y_t)
+        comp = prep_fn(params, c.ell, source, y_t)
+        stats = flow_fn(params, c.ell, source, y_t, comp)
         twist, joint_norm = kernels.flow_from_stats(params, source, stats)
-        B, C, D, E = step_fn(params, c.ell, source, y_t, twist)
+        B, C, D, E = step_fn(params, c.ell, source, y_t, twist, comp)
         step = step_from_poly(B, C, D, E, params.min_step, params.max_step)
 
         # degenerate-flow break (reference CvoGPU.cu:1452-1458). The eps test
