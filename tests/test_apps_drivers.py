@@ -248,3 +248,22 @@ def test_lyft_odometry_synthetic(tmp_path, fast_params_yaml):
     rows = np.loadtxt(out)
     assert rows.shape == (3, 12)
     assert np.isfinite(rows).all()
+
+
+def test_gicp_baseline_recovers_rigid_motion():
+    """GICP cross-check app (reference gicp_align_two twin) on a synthetic
+    rigid motion."""
+    import numpy as np
+    from unified_cvo_tpu.apps.gicp_align_two import gicp_align
+
+    rng = np.random.default_rng(3)
+    xyz = rng.uniform(-4, 4, (400, 3)).astype(np.float64)
+    xyz[:, 2] = 0.2 * np.sin(xyz[:, 0]) + 0.1 * xyz[:, 1]  # a surface
+    th = 0.05
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0], [0, 0, 1.0]])
+    t = np.array([0.1, -0.05, 0.02])
+    tgt = (xyz - t) @ R  # so that R @ tgt + t == xyz
+    T, iters, rmse = gicp_align(xyz, tgt, max_iter=40, k=12, max_corr=1.0)
+    np.testing.assert_allclose(T[:3, :3], R, atol=5e-3)
+    np.testing.assert_allclose(T[:3, 3], t, atol=2e-2)

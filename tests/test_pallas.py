@@ -76,3 +76,43 @@ def test_align_backend_pallas_interpret_matches_jnp(rng):
                             backend="pallas_interpret")
     assert int(info1.iterations) == int(info2.iterations)
     np.testing.assert_allclose(np.asarray(T1), np.asarray(T2), atol=1e-5)
+
+def test_compact_tile_mask_partition(rng):
+    mask = (rng.random((6, 8)) < 0.3).astype(np.int32)
+    comp = pk.compact_tile_mask(jnp.asarray(mask))
+    n = int(comp.n)
+    flat = mask.reshape(-1)
+    expect_n = max(int(flat.sum()), 1)
+    assert n == expect_n
+    pi = np.asarray(comp.pair_i)
+    pj = np.asarray(comp.pair_j)
+    first = np.asarray(comp.first)
+    if flat.sum() > 0:
+        active_flat = np.flatnonzero(flat)
+        got_flat = pi[: n] * 8 + pj[: n]
+        # actives first, original row-major order (stable partition)
+        np.testing.assert_array_equal(got_flat, active_flat)
+        # first flags mark the first pair of each source tile, actives only
+        expect_first = np.concatenate([[1], (pi[1:n] != pi[: n - 1]).astype(int)])
+        np.testing.assert_array_equal(first[:n], expect_first)
+        assert first[n:].sum() == 0
+    np.testing.assert_array_equal(np.asarray(comp.row_has), mask.any(axis=1))
+
+
+def test_flow_stats_pallas_culled_mask_all_zero(rng):
+    """All-culled mask: dynamic grid is clamped to one (gated) step and every
+    output row is masked off."""
+    p = CvoParams(sp_thres=0.002)
+    x, y, kw_x, kw_y = _random_clouds(rng, n=40, m=40)
+    pcx = make_pointcloud(x, bucket=8, **kw_x)
+    pcy = make_pointcloud(y, bucket=8, **kw_y)
+    from unified_cvo_tpu.ops.kernels import pad_cloud_to_multiple
+
+    nI = pad_cloud_to_multiple(pcx, 8).capacity // 8
+    nJ = pad_cloud_to_multiple(pcy, 16).capacity // 16
+    mask = jnp.zeros((nI, nJ), jnp.int32)
+    got = pk.flow_stats_pallas(p, jnp.float32(0.5), pcx, pcy, tile_i=8,
+                               tile_j=16, tile_mask=mask, interpret=True)
+    assert float(jnp.abs(got.row_sum).max()) == 0.0
+    assert float(jnp.abs(got.row_wy).max()) == 0.0
+    assert int(got.nonzeros) == 0
