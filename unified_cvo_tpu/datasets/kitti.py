@@ -27,6 +27,23 @@ class KittiHandler:
         ]
         self.names = sorted(names)
         self.curr_index = 0
+        self._loader = None
+        self._pending = {}
+        try:
+            from unified_cvo_tpu import native
+
+            if native.available():
+                self._loader = native.PrefetchLoader(2)
+        except Exception:
+            self._loader = None
+
+    def _read_f32(self, path):
+        if self._loader is not None:
+            ticket = self._pending.pop(path, None)
+            if ticket is None:
+                ticket = self._loader.submit(path, 0)
+            return self._loader.get(ticket)
+        return np.fromfile(path, np.float32)
 
     def __len__(self):
         return len(self.names)
@@ -65,9 +82,16 @@ class KittiHandler:
         if self.curr_index >= len(self.names):
             return None
         name = self.names[self.curr_index]
-        pts = np.fromfile(
-            os.path.join(self.folder, "velodyne", name + ".bin"), np.float32
+        pts = self._read_f32(
+            os.path.join(self.folder, "velodyne", name + ".bin")
         ).reshape(-1, 4)
+        # prefetch the next scan on the native IO threads while the chip
+        # registers this one
+        if self.curr_index + 1 < len(self.names) and self._loader is not None:
+            nxt = self.names[self.curr_index + 1]
+            p = os.path.join(self.folder, "velodyne", nxt + ".bin")
+            if p not in self._pending:
+                self._pending[p] = self._loader.submit(p, 0)
         xyz = pts[:, :3]
         rotated = np.stack([-xyz[:, 1], -xyz[:, 2], xyz[:, 0]], axis=1)
         return np.concatenate([rotated, pts[:, 3:4]], axis=1)

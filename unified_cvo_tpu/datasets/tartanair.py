@@ -15,6 +15,18 @@ import numpy as np
 
 from unified_cvo_tpu.frontend.calibration import Calibration
 
+
+def _load_npy(path):
+    """Native cnpy-twin reader when built (native/cvo_io.cpp), else numpy."""
+    from unified_cvo_tpu import native
+
+    if native.available():
+        try:
+            return native.read_npy(path)
+        except Exception:
+            pass
+    return np.load(path)
+
 # TartanAir pinhole intrinsics (fixed across the dataset)
 TARTANAIR_K = np.array(
     [[320.0, 0.0, 320.0], [0.0, 320.0, 240.0], [0.0, 0.0, 1.0]], np.float32
@@ -43,7 +55,7 @@ class TartanAirHandler:
             return None
         n = self.names[self.curr_index]
         rgb = cv2.imread(os.path.join(self.folder, "image_left", f"{n}_left.png"))
-        depth = np.load(os.path.join(self.folder, "depth_left", f"{n}_left_depth.npy"))
+        depth = _load_npy(os.path.join(self.folder, "depth_left", f"{n}_left_depth.npy"))
         if rgb is None or depth is None:
             return None
         return rgb, depth.astype(np.float32)
@@ -54,7 +66,7 @@ class TartanAirHandler:
             return None
         rgb, depth = out
         n = self.names[self.curr_index]
-        seg = np.load(os.path.join(self.folder, "seg_left", f"{n}_left_seg.npy"))
+        seg = _load_npy(os.path.join(self.folder, "seg_left", f"{n}_left_seg.npy"))
         onehot = np.eye(num_classes, dtype=np.float32)[
             np.clip(seg.astype(np.int64), 0, num_classes - 1)
         ]

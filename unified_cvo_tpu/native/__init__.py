@@ -37,6 +37,27 @@ def _load():
         ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_float,
         ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.cvo_loader_create.restype = ctypes.c_void_p
+    lib.cvo_loader_create.argtypes = [ctypes.c_int]
+    lib.cvo_loader_destroy.argtypes = [ctypes.c_void_p]
+    lib.cvo_loader_submit.restype = ctypes.c_int64
+    lib.cvo_loader_submit.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
+    lib.cvo_loader_wait.restype = ctypes.c_int64
+    lib.cvo_loader_wait.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_char_p,
+    ]
+    lib.cvo_loader_fetch.restype = ctypes.c_int
+    lib.cvo_loader_fetch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+    ]
+    lib.cvo_read_npy_header.restype = ctypes.c_int64
+    lib.cvo_read_npy_header.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_char_p,
+    ]
+    lib.cvo_read_npy.restype = ctypes.c_int
+    lib.cvo_read_npy.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64]
     _lib = lib
     return lib
 
@@ -90,3 +111,75 @@ def voxel_downsample_indices(xyz: np.ndarray, voxel: float) -> np.ndarray:
         ctypes.c_float(voxel), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return out[:n]
+
+
+_DTYPES = {b"f": np.float32, b"d": np.float64, b"u": np.uint8,
+           b"q": np.int64, b"h": np.int16}
+
+
+def read_npy(path: str) -> np.ndarray:
+    """Native npy reader (the cnpy twin, reference thirdparty/cnpy/cnpy.cpp)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("libcvo_native.so not built (run `make -C native`)")
+    ndim = ctypes.c_int()
+    shape = (ctypes.c_int64 * 8)()
+    dt = ctypes.create_string_buffer(1)
+    nbytes = lib.cvo_read_npy_header(path.encode(), ctypes.byref(ndim), shape, dt)
+    if nbytes == 0:
+        raise IOError(f"cvo_read_npy_header failed for {path}")
+    out = np.empty(nbytes, np.uint8)
+    rc = lib.cvo_read_npy(path.encode(), out.ctypes.data_as(ctypes.c_char_p), nbytes)
+    if rc != 0:
+        raise IOError(f"cvo_read_npy failed ({rc}) for {path}")
+    arr = out.view(_DTYPES[dt.raw[:1]])
+    return arr.reshape(tuple(shape[i] for i in range(ndim.value)))
+
+
+class PrefetchLoader:
+    """Threaded native file prefetcher: overlaps disk IO (npy / raw-f32 .bin)
+    with TPU compute. The reference's data path is synchronous C++ inside the
+    drivers; here odometry apps submit frame k+1 while the chip registers
+    frame k."""
+
+    RAW_F32 = 0
+    NPY = 1
+
+    def __init__(self, n_workers: int = 2):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("libcvo_native.so not built (run `make -C native`)")
+        self._lib = lib
+        self._h = lib.cvo_loader_create(n_workers)
+
+    def submit(self, path: str, kind: int) -> int:
+        return self._lib.cvo_loader_submit(self._h, path.encode(), kind)
+
+    def get(self, ticket: int) -> np.ndarray:
+        ndim = ctypes.c_int()
+        shape = (ctypes.c_int64 * 8)()
+        dt = ctypes.create_string_buffer(1)
+        nbytes = self._lib.cvo_loader_wait(
+            self._h, ticket, ctypes.byref(ndim), shape, dt
+        )
+        if nbytes == 0:
+            raise IOError(f"prefetch read failed (ticket {ticket})")
+        out = np.empty(nbytes, np.uint8)
+        rc = self._lib.cvo_loader_fetch(
+            self._h, ticket, out.ctypes.data_as(ctypes.c_char_p), nbytes
+        )
+        if rc != 0:
+            raise IOError(f"prefetch fetch failed ({rc})")
+        arr = out.view(_DTYPES[dt.raw[:1]])
+        return arr.reshape(tuple(shape[i] for i in range(ndim.value)))
+
+    def close(self):
+        if self._h:
+            self._lib.cvo_loader_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
