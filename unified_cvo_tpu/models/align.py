@@ -83,7 +83,7 @@ def _stats_fns(backend: str, chunk: int):
     jax.jit,
     static_argnames=(
         "params", "record_history", "chunk", "max_iter", "backend",
-        "adaptive_ell", "spatial_culling",
+        "adaptive_ell", "spatial_culling", "tile_i", "tile_j",
     ),
 )
 def align(
@@ -97,6 +97,8 @@ def align(
     backend: str = "auto",
     adaptive_ell: Optional[bool] = None,
     spatial_culling: bool = True,
+    tile_i: Optional[int] = None,
+    tile_j: Optional[int] = None,
 ):
     """Register target onto source. Returns (transform[4,4], ret, AlignInfo).
 
@@ -144,7 +146,8 @@ def align(
         from unified_cvo_tpu.ops import morton
         from unified_cvo_tpu.ops import pallas_kernels as pk
 
-        tile_i, tile_j = pk.DEFAULT_TILE_I, pk.DEFAULT_TILE_J
+        tile_i = pk.DEFAULT_TILE_I if tile_i is None else tile_i
+        tile_j = pk.DEFAULT_TILE_J if tile_j is None else tile_j
         source = kernels.pad_cloud_to_multiple(source, tile_i)
         target = kernels.pad_cloud_to_multiple(target, tile_j)
         source, _ = morton.sort_cloud(source)
