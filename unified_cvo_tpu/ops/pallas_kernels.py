@@ -13,11 +13,16 @@ Data layout is TPU-first: the source cloud is packed row-major [N, Dx]
 (points on sublanes), the target cloud is packed *transposed* [Dy, M]
 (points on lanes), so per-pair coordinate differences broadcast as
 [TI,1] - [1,TJ] with no in-kernel transposes. Geometric distances, flow
-accumulation and step dot products are exact-f32 VPU broadcasts (K=3
-matmuls waste the MXU, and TPU matmuls default to bf16 inputs which
-cancel catastrophically at scene coordinate magnitudes); the wide
-feature/semantic distances ride the MXU at HIGHEST precision. The kernel
-matrix A lives only in VMEM.
+accumulation and step dot products are exact-f32 VPU broadcasts — the
+|x|^2+|y|^2-2x.y MXU expansion cancels catastrophically at scene
+coordinate magnitudes, and low-K / low-N matmuls were MEASURED slower
+than the VPU forms (K=3 wastes the systolic array; HIGHEST splits the
+[TI,TJ] operand into bf16 triples on the VPU, costing more than the ops
+it offloads). Only the wide feature/semantic cross-distances ride the
+MXU at HIGHEST precision. Validity/padding gates are folded into the
+packed operands (an additive +BIG pad row into d2 / the squared-norm
+rows, a -1 sentinel in the per-i d2 threshold) so the kernels spend no
+per-pair ops on masks. The kernel matrix A lives only in VMEM.
 
 All tiles accumulate into per-source-row outputs across the j grid axis
 (j innermost; Pallas keeps the output block resident between consecutive
@@ -113,7 +118,7 @@ class PackLayout:
         return 0
 
     @property
-    def y_mask(self):
+    def y_pad(self):  # 0 valid / +BIG invalid, folded additively into d2
         return 3
 
     @property
@@ -121,7 +126,7 @@ class PackLayout:
         return 4
 
     @property
-    def y_featsq(self):
+    def y_featsq(self):  # |f|^2 (+pad)
         return 4 + self.feature_dim
 
     @property
@@ -129,7 +134,7 @@ class PackLayout:
         return 5 + self.feature_dim
 
     @property
-    def y_labelsq(self):
+    def y_labelsq(self):  # |l|^2 (+pad)
         return 5 + self.feature_dim + self.num_classes
 
     @property
@@ -178,25 +183,35 @@ def cloud_center(x: PointCloud):
     return jnp.sum(x.xyz * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1.0)
 
 
+PAD_BIG = jnp.float32(1e30)  # additive invalid-pair sentinel (f32-safe)
+
+
 def pack_x(params, lo: PackLayout, x: PointCloud, ell, center=None):
-    """[N, Dx] packed source matrix (per-i scalars precomputed)."""
+    """[N, Dx] packed source matrix (per-i scalars precomputed).
+
+    Source-point validity is folded into the packed scalars — invalid rows
+    get d2_thres = -1 (the geometric gate can never pass) and +BIG squared
+    feature/label norms (the channel distance gates can never pass) — so
+    the kernels never touch the mask per pair."""
     N = x.capacity
     xyz = x.xyz if center is None else x.xyz - center
     cols = [xyz, x.mask[:, None]]
+    pad = jnp.where(x.mask > 0, 0.0, PAD_BIG)[:, None]
     rng = jnp_kernels.range_ell(ell, jnp.linalg.norm(x.xyz, axis=-1))
     two_l2 = 2.0 * rng * rng
     neg_inv_two_l2 = -1.0 / two_l2
     sigma2 = jnp.float32(params.sigma) ** 2
     d2_thres = -two_l2 * jnp.log(jnp.float32(params.sp_thres) / sigma2)
+    d2_thres = jnp.where(x.mask > 0, d2_thres, -1.0)
     step_l = rng if lo.use_range_ell_step else jnp.full((N,), ell, jnp.float32)
     coef = 1.0 / (2.0 * step_l * step_l)
     cols += [neg_inv_two_l2[:, None], d2_thres[:, None], coef[:, None]]
     if lo.use_intensity:
-        cols += [x.features, jnp.sum(x.features**2, -1, keepdims=True)]
+        cols += [x.features, jnp.sum(x.features**2, -1, keepdims=True) + pad]
     else:
         cols += [jnp.zeros((N, 0), jnp.float32), jnp.zeros((N, 1), jnp.float32)]
     if lo.use_semantics:
-        cols += [x.labels, jnp.sum(x.labels**2, -1, keepdims=True)]
+        cols += [x.labels, jnp.sum(x.labels**2, -1, keepdims=True) + pad]
     else:
         cols += [jnp.zeros((N, 0), jnp.float32), jnp.zeros((N, 1), jnp.float32)]
     g = x.geometric_types if x.geometric_types is not None else jnp.zeros((N, 2), jnp.float32)
@@ -207,19 +222,24 @@ def pack_x(params, lo: PackLayout, x: PointCloud, ell, center=None):
 def pack_y(lo: PackLayout, y: PointCloud, twist: Optional[jax.Array] = None,
            center=None):
     """[Dy, M] packed transposed target matrix; with `twist`, the flow
-    derivative rows xiz..xi4z and per-j scalars are appended (step pass).
-    The xi*z flow derivatives are always computed from UNcentered
-    coordinates (xiz = W y + v is position dependent); only the xyz/|p|^2
-    rows used for differences are centered."""
+    derivative rows xiz..xi4z, the per-j dots y_c . xi{k}z, and per-j
+    scalars are appended (step pass). The xi*z flow derivatives are always
+    computed from UNcentered coordinates (xiz = W y + v is position
+    dependent); only the xyz rows used for differences/dots are centered.
+
+    Target validity is folded into a +BIG pad row (added to d2 in-kernel)
+    and into the squared feature/label norm rows, so the kernels never
+    touch the mask per pair."""
     M = y.capacity
     xyz_c = y.xyz if center is None else y.xyz - center
-    rows = [xyz_c.T, y.mask[None, :]]
+    pad = jnp.where(y.mask > 0, 0.0, PAD_BIG)[None, :]
+    rows = [xyz_c.T, pad]
     if lo.use_intensity:
-        rows += [y.features.T, jnp.sum(y.features**2, -1)[None, :]]
+        rows += [y.features.T, jnp.sum(y.features**2, -1)[None, :] + pad]
     else:
         rows += [jnp.zeros((0, M), jnp.float32), jnp.zeros((1, M), jnp.float32)]
     if lo.use_semantics:
-        rows += [y.labels.T, jnp.sum(y.labels**2, -1)[None, :]]
+        rows += [y.labels.T, jnp.sum(y.labels**2, -1)[None, :] + pad]
     else:
         rows += [jnp.zeros((0, M), jnp.float32), jnp.zeros((1, M), jnp.float32)]
     g = y.geometric_types if y.geometric_types is not None else jnp.zeros((M, 2), jnp.float32)
@@ -243,13 +263,21 @@ def pack_y(lo: PackLayout, y: PointCloud, twist: Optional[jax.Array] = None,
 
 
 def _a_block(params, lo: PackLayout, x, yT):
-    """Kernel-matrix tile from packed blocks (fill_in_A_mat_gpu semantics)."""
+    """Kernel-matrix tile from packed blocks (fill_in_A_mat_gpu semantics).
+
+    Validity needs no per-pair mask ops: invalid pairs fail the geometric
+    gate (pad row pushes d2 past the -1 source threshold sentinel) or the
+    channel distance gates (pads in the squared-norm rows), or produce a
+    zero geometric-type cosine (zero padded type vectors)."""
     f32 = jnp.float32
     TI = x.shape[0]
     TJ = yT.shape[1]
     sp = f32(params.sp_thres)
     a = None
-    ok = (x[:, lo.x_mask : lo.x_mask + 1] > 0) & (yT[lo.y_mask : lo.y_mask + 1, :] > 0)
+    ok = None
+
+    def gate(ok, g):
+        return g if ok is None else ok & g
 
     if lo.use_geo_type:
         dot = (x[:, lo.x_geo : lo.x_geo + 1] * yT[lo.y_geo : lo.y_geo + 1, :]
@@ -258,20 +286,20 @@ def _a_block(params, lo: PackLayout, x, yT):
         n2 = (x[:, lo.x_geon2 : lo.x_geon2 + 1] *
               yT[lo.y_geon2 : lo.y_geon2 + 1, :])
         geo = dot * dot * (1.0 / jnp.maximum(n2, 1e-12))
-        ok &= geo >= 0.01
+        ok = gate(ok, geo >= 0.01)
         a = geo
 
     if lo.use_geometry:
         sigma2 = f32(params.sigma) ** 2
         # explicit per-axis differences on the VPU: exact in f32 (the
         # |x|^2+|y|^2-2x.y MXU expansion cancels catastrophically at KITTI
-        # coordinate magnitudes, and a K=3 matmul wastes the MXU anyway)
-        d2 = None
+        # coordinate magnitudes — the tiny d2 is consumed directly)
+        d2 = yT[lo.y_pad : lo.y_pad + 1, :]
         for c in range(3):
             diff = (x[:, lo.x_xyz + c : lo.x_xyz + c + 1]
                     - yT[lo.y_xyz + c : lo.y_xyz + c + 1, :])
-            d2 = diff * diff if d2 is None else d2 + diff * diff
-        ok &= d2 < x[:, lo.x_d2thres : lo.x_d2thres + 1]
+            d2 = d2 + diff * diff
+        ok = gate(ok, d2 < x[:, lo.x_d2thres : lo.x_d2thres + 1])
         k = sigma2 * jnp.exp(d2 * x[:, lo.x_twol2 : lo.x_twol2 + 1])
         a = k if a is None else a * k
 
@@ -286,7 +314,7 @@ def _a_block(params, lo: PackLayout, x, yT):
         d2c = (x[:, lo.x_featsq : lo.x_featsq + 1]
                + yT[lo.y_featsq : lo.y_featsq + 1, :] - 2.0 * cross)
         d2c = jnp.maximum(d2c, 0.0)
-        ok &= d2c < -2.0 * c_ell2 * jnp.log(sp / c_sigma2)
+        ok = gate(ok, d2c < -2.0 * c_ell2 * jnp.log(sp / c_sigma2))
         ck = c_sigma2 * jnp.exp(-d2c / (2.0 * c_ell2))
         a = ck if a is None else a * ck
 
@@ -301,12 +329,16 @@ def _a_block(params, lo: PackLayout, x, yT):
         d2s = (x[:, lo.x_labelsq : lo.x_labelsq + 1]
                + yT[lo.y_labelsq : lo.y_labelsq + 1, :] - 2.0 * cross)
         d2s = jnp.maximum(d2s, 0.0)
-        ok &= d2s < -2.0 * s_ell2 * jnp.log(sp / s_sigma2)
+        ok = gate(ok, d2s < -2.0 * s_ell2 * jnp.log(sp / s_sigma2))
         sk = s_sigma2 * jnp.exp(-d2s / (2.0 * s_ell2))
         a = sk if a is None else a * sk
 
     if a is None:
+        # no active channel: only the validity mask gates (a == 1 > sp)
         a = jnp.ones((TI, TJ), f32)
+        ok = (x[:, lo.x_mask : lo.x_mask + 1] > 0) & (
+            yT[lo.y_pad : lo.y_pad + 1, :] == 0.0)
+        return jnp.where(ok, a, 0.0)
     return jnp.where(ok & (a > sp), a, 0.0)
 
 
@@ -379,6 +411,10 @@ def _flow_kernel(params, lo: PackLayout, *refs):
         x = x_ref[:]
         yT = y_ref[:]
         a = _a_block(params, lo, x, yT)
+        # all-VPU accumulation: an MXU formulation ([A | a>0] @ (y|1) with
+        # K=TJ) was measured SLOWER — the HIGHEST operand split of the
+        # [TI,TJ] A tile costs more VPU work than these reductions, and
+        # low-K matmuls waste the systolic array
         s_ref[:] = s_ref[:] + jnp.sum(a, axis=1, keepdims=True)
         cnt_ref[:] = cnt_ref[:] + jnp.sum(
             (a > 0).astype(jnp.float32), axis=1, keepdims=True
@@ -419,7 +455,10 @@ def _step_tile(params, lo: PackLayout, x_ref, y_ref, b_ref, c_ref, d_ref, e_ref)
     ]
 
     def dots(k):
-        """(x_i - y_j) . xi{k}z_j via shared per-axis difference tiles."""
+        """(x_i - y_j) . xi{k}z_j via shared per-axis difference tiles.
+        (A K=3 MXU matmul x_c.xi{k}z minus a per-j precomputed half was
+        measured ~2x slower: K=3 wastes the systolic array and HIGHEST
+        multiplies the [TI,TJ]-output passes by 6.)"""
         acc = None
         for c in range(3):
             t = diffs[c] * yT[lo.y_xiz + 3 * k + c : lo.y_xiz + 3 * k + c + 1, :]
