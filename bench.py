@@ -110,7 +110,7 @@ def main():
     jax.block_until_ready(frames[-1].xyz)
 
     chunk = int(os.environ.get("BENCH_CHUNK", 4096))
-    backend = os.environ.get("BENCH_BACKEND", "pallas")
+    backend = os.environ.get("BENCH_BACKEND", "auto")
     # Hard iteration cap: an unbounded while_loop dispatched to the TPU
     # cannot be cancelled and would hold the chip for minutes.
     max_iter = int(os.environ.get("BENCH_MAX_ITER", 1500))

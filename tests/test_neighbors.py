@@ -1,0 +1,126 @@
+"""Verlet ELL neighbor-list backend (ops/neighbors.py).
+
+Covers: candidate-superset property of the grid builder, exact agreement of
+the ELL flow/step passes with the dense jnp oracle, full-trajectory agreement
+of align(backend='ell') with align(backend='jnp') including forced mid-align
+rebuilds, and overflow accounting on a pathologically dense cloud.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unified_cvo_tpu.config import CvoParams
+from unified_cvo_tpu.models.align import align
+from unified_cvo_tpu.ops import kernels, lie
+from unified_cvo_tpu.ops import neighbors as nbr
+from unified_cvo_tpu.utils.pointcloud import make_pointcloud
+
+
+def _scene(rng, n=1536, spread=12.0):
+    xyz = np.stack(
+        [rng.uniform(-spread, spread, n), rng.uniform(-2, 2, n),
+         rng.uniform(2, 50, n)], axis=1).astype(np.float32)
+    return xyz
+
+
+def _params(**kw):
+    base = dict(ell_init=0.4, ell_min=0.05, ell_decay_rate=0.9,
+                ell_decay_start=5, indicator_window_size=5,
+                indicator_stable_threshold=0.2, max_step=0.1,
+                sp_thres=0.0006, is_using_geometry=1)
+    base.update(kw)
+    return CvoParams(**base)
+
+
+def test_candidate_list_superset_of_support(rng):
+    """Every pair the dense kernel keeps must be in the candidate list."""
+    params = _params()
+    xyz = _scene(rng)
+    xyz2 = _scene(rng) + np.float32([0.1, 0.0, 0.2])
+    src = make_pointcloud(xyz, bucket=512)
+    tgt = make_pointcloud(xyz2, bucket=512)
+    R = jnp.eye(3)
+    T = jnp.zeros(3)
+    ell = jnp.float32(params.ell_init)
+    nl = nbr.build_neighbor_list(params, ell, src, tgt, R, T, k=192, skin=0.3, per_cell_cap=24)
+    assert int(nl.overflow) == 0
+
+    a_dense = np.asarray(kernels.kernel_block(params, ell, src, tgt))
+    idx = np.asarray(nl.idx)
+    listed = np.zeros_like(a_dense, dtype=bool)
+    rows = np.repeat(np.arange(idx.shape[0]), idx.shape[1])
+    cols = idx.reshape(-1)
+    ok = cols >= 0
+    listed[rows[ok], cols[ok]] = True
+    missing = (a_dense > 0) & ~listed
+    assert not missing.any(), f"{missing.sum()} support pairs missing"
+
+
+def test_ell_passes_match_dense_oracle(rng):
+    params = _params()
+    xyz = _scene(rng)
+    xi = np.array([0.002, 0.005, -0.001, 0.05, 0.02, 0.4], np.float32)
+    R_m, t_m = lie.se3_exp(jnp.asarray(xi), 1.0)
+    xyz2 = np.asarray(xyz @ np.asarray(R_m).T + np.asarray(t_m))
+    src = make_pointcloud(xyz, bucket=512)
+    tgt = make_pointcloud(xyz2, bucket=512)
+    Rinv, Tinv = lie.invert_rt(jnp.asarray(R_m), jnp.asarray(t_m))
+    ell = jnp.float32(params.ell_init)
+    y_t = tgt.transformed(Rinv, Tinv)
+
+    ref = kernels.flow_stats(params, ell, src, y_t, chunk=512)
+    nl = nbr.build_neighbor_list(params, ell, src, tgt, Rinv, Tinv,
+                                 k=192, skin=0.3, per_cell_cap=24)
+    assert int(nl.overflow) == 0
+    got, a, yts = nbr.flow_stats_ell(params, ell, src, nl, Rinv, Tinv)
+    assert int(got.nonzeros) == int(ref.nonzeros)
+    np.testing.assert_allclose(got.a_sum, ref.a_sum, rtol=1e-5)
+    np.testing.assert_allclose(got.row_sum, ref.row_sum, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got.row_wy, ref.row_wy, rtol=1e-4, atol=1e-5)
+
+    twist, _ = kernels.flow_from_stats(params, src, ref)
+    B0, C0, D0, E0 = kernels.step_coeffs(params, ell, src, y_t, twist, chunk=512)
+    B1, C1, D1, E1 = nbr.step_coeffs_ell(params, ell, src, a, yts, twist)
+    # the oracle computes the pair dots as x@xi.T - ydot (MXU form) while the
+    # ELL pass uses the direct (x - y).xi broadcast; only f32 rounding differs
+    for r, g in zip((B0, C0, D0, E0), (B1, C1, D1, E1)):
+        np.testing.assert_allclose(g, r, rtol=1e-3, atol=5e-3)
+
+
+@pytest.mark.parametrize("skin,label", [(0.4, "no-rebuild"), (0.12, "rebuilds")])
+def test_align_ell_matches_jnp_trajectory(rng, skin, label):
+    params = _params()
+    xyz = _scene(rng, n=1024)
+    xi = np.array([0.001, 0.004, -0.002, 0.03, 0.01, 0.3], np.float32)
+    R_m, t_m = lie.se3_exp(jnp.asarray(xi), 1.0)
+    xyz2 = np.asarray(xyz @ np.asarray(R_m).T + np.asarray(t_m))
+    src = make_pointcloud(xyz, bucket=1024)
+    tgt = make_pointcloud(xyz2, bucket=1024)
+    ig = lie.rt_to_mat44(*lie.se3_exp(jnp.asarray(xi * 0.2), 1.0))
+    T1, r1, i1 = align(src, tgt, ig, params, backend="jnp", max_iter=400)
+    T2, r2, i2 = align(src, tgt, ig, params, backend="ell", max_iter=400,
+                       nl_k=160, nl_per_cell=20, nl_skin=skin)
+    assert int(i2.nl_overflow) == 0
+    # identical math modulo f32 summation order; trajectories track closely
+    assert float(jnp.max(jnp.abs(T1 - T2))) < 2e-3, label
+
+
+def test_overflow_is_reported_on_dense_cloud(rng):
+    """A cloud much denser than the kernel support must report dropped
+    candidates through AlignInfo.nl_overflow instead of failing silently."""
+    params = _params(ell_init=1.0)
+    xyz = rng.uniform(-0.5, 0.5, (512, 3)).astype(np.float32)
+    src = make_pointcloud(xyz, bucket=512)
+    tgt = make_pointcloud(xyz + np.float32([0.02, 0, 0]), bucket=512)
+    T, ret, info = align(src, tgt, jnp.eye(4), params, backend="ell",
+                         max_iter=5, nl_k=32, nl_per_cell=4)
+    assert int(info.nl_overflow) > 0
+
+
+def test_auto_backend_gates():
+    """auto -> ell only for large clouds with local support."""
+    from unified_cvo_tpu.ops.neighbors import static_support_radius
+
+    assert static_support_radius(_params(ell_init=0.15)) < 2.0
+    assert static_support_radius(_params(ell_init=5.0)) > 2.0

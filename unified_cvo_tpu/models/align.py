@@ -46,6 +46,8 @@ class AlignInfo(NamedTuple):
     nonzeros: jax.Array
     inner_product: jax.Array
     history: Optional[dict] = None  # per-iteration logs when record_history
+    nl_overflow: Optional[jax.Array] = None  # ELL backend: candidates dropped
+    #   by the K / per-cell caps across builds (0 = the list was exact)
 
 
 class _Carry(NamedTuple):
@@ -61,6 +63,7 @@ class _Carry(NamedTuple):
     a_sum: jax.Array
     ind: indicator_ops.IndicatorState
     history: Optional[dict]
+    nl_overflow: jax.Array  # ELL: dropped candidates across builds
 
 
 def _stats_fns(backend: str, chunk: int):
@@ -84,6 +87,7 @@ def _stats_fns(backend: str, chunk: int):
     static_argnames=(
         "params", "record_history", "chunk", "max_iter", "backend",
         "adaptive_ell", "spatial_culling", "tile_i", "tile_j",
+        "nl_k", "nl_skin", "nl_per_cell",
     ),
 )
 def align(
@@ -99,6 +103,9 @@ def align(
     spatial_culling: bool = True,
     tile_i: Optional[int] = None,
     tile_j: Optional[int] = None,
+    nl_k: int = 128,
+    nl_skin: float = 0.5,
+    nl_per_cell: int = 16,
 ):
     """Register target onto source. Returns (transform[4,4], ret, AlignInfo).
 
@@ -106,9 +113,15 @@ def align(
     init_guess_transform argument (callers typically pass the inverse of the
     source->target prior; see main_cvo_gpu_align_two_color_pcd.cpp:71-82).
 
-    backend: 'auto' (pallas on accelerators, jnp on CPU), 'jnp' (blocked XLA
-    passes), 'pallas' (fused TPU kernels), or 'pallas_interpret' (Pallas
-    interpreter, for CPU validation).
+    backend: 'auto' picks 'ell' when the kernel support is local (the
+    common odometry regime: geometric channel on, ell_init small relative
+    to the scene) — a Verlet candidate list rebuilt on drift, ~10x faster
+    than the tiled scan at KITTI sparsity; otherwise fused Pallas tiles on
+    accelerators / blocked-XLA 'jnp' on CPU. Explicit values: 'ell', 'jnp',
+    'pallas', 'pallas_interpret' (Pallas interpreter, CPU validation).
+    nl_k / nl_skin / nl_per_cell tune the 'ell' candidate list (K nearest
+    kept per source point — the reference kd-tree mode's K, cukdtree.h:12;
+    skin = Verlet rebuild margin in meters).
 
     adaptive_ell: ACVO mode (reference AdaptiveCvoGPU.cu, ENABLE_ACVO
     variant) — instead of the indicator-window decay schedule, ell follows
@@ -119,12 +132,28 @@ def align(
     (gradient assembly at AdaptiveCvoGPU.cu:612-712, 869-885; update at
     :1198). Defaults to params.is_ell_adaptive.
     """
-    if backend == "auto":
-        # fused Pallas kernels on accelerators; blocked-XLA passes on CPU
-        # (Mosaic's CPU path is the slow interpreter)
-        backend = "jnp" if jax.default_backend() == "cpu" else "pallas"
     if adaptive_ell is None:
         adaptive_ell = bool(params.is_ell_adaptive)
+    if backend == "auto":
+        from unified_cvo_tpu.ops import neighbors as nbr
+
+        # the ELL candidate list needs a bounded geometric support, a
+        # monotone (decaying) ell schedule (the ACVO variant can grow ell),
+        # and enough points that (a) the dense scan is actually expensive
+        # and (b) the support is local relative to the cloud — small dense
+        # clouds overflow the per-cell caps and silently drop pairs
+        if (
+            bool(params.is_using_geometry)
+            and not adaptive_ell
+            and nbr.static_support_radius(params) <= 2.0
+            and source.capacity >= 4096
+            and target.capacity >= 4096
+        ):
+            backend = "ell"
+        else:
+            # fused Pallas kernels on accelerators; blocked-XLA passes on
+            # CPU (Mosaic's CPU path is the slow interpreter)
+            backend = "jnp" if jax.default_backend() == "cpu" else "pallas"
     f32 = jnp.float32
     max_iter = params.MAX_ITER if max_iter is None else max_iter
     R0 = jnp.asarray(init_guess[:3, :3], f32)
@@ -132,6 +161,10 @@ def align(
     nx = source.num_valid
     ny = target.num_valid
     sqrt_nxny = jnp.sqrt(jnp.maximum(nx * ny, 1.0))
+
+    use_ell = backend == "ell"
+    if use_ell:
+        from unified_cvo_tpu.ops import neighbors as nbr
 
     # spatial tile culling (Pallas backends only): Morton-sort both clouds
     # once so tiles are spatially compact, then per iteration cull
@@ -142,7 +175,9 @@ def align(
         and backend.startswith("pallas")
         and bool(params.is_using_geometry)
     )
-    if culling:
+    if use_ell:
+        prep_fn = flow_fn = step_fn = None
+    elif culling:
         from unified_cvo_tpu.ops import morton
         from unified_cvo_tpu.ops import pallas_kernels as pk
 
@@ -193,10 +228,21 @@ def align(
         Rinv, Tinv = lie.invert_rt(c.R, c.T)
         y_t = target.transformed(Rinv, Tinv)
 
-        comp = prep_fn(params, c.ell, source, y_t)
-        stats = flow_fn(params, c.ell, source, y_t, comp)
-        twist, joint_norm = kernels.flow_from_stats(params, source, stats)
-        B, C, D, E = step_fn(params, c.ell, source, y_t, twist, comp)
+        if use_ell:
+            # the neighbor list is a closure constant of this inner loop
+            # (no carry copies); the inner cond exits on drift and the
+            # outer loop rebuilds
+            nl = body.nl
+            stats, a_ell, y_t_slots = nbr.flow_stats_ell(
+                params, c.ell, source, nl, Rinv, Tinv)
+            twist, joint_norm = kernels.flow_from_stats(params, source, stats)
+            B, C, D, E = nbr.step_coeffs_ell(
+                params, c.ell, source, a_ell, y_t_slots, twist)
+        else:
+            comp = prep_fn(params, c.ell, source, y_t)
+            stats = flow_fn(params, c.ell, source, y_t, comp)
+            twist, joint_norm = kernels.flow_from_stats(params, source, stats)
+            B, C, D, E = step_fn(params, c.ell, source, y_t, twist, comp)
         step = step_from_poly(B, C, D, E, params.min_step, params.max_step)
 
         # degenerate-flow break (reference CvoGPU.cu:1452-1458). The eps test
@@ -275,6 +321,7 @@ def align(
             a_sum=stats.a_sum,
             ind=ind_new,
             history=hist_new,
+            nl_overflow=c.nl_overflow,
         )
 
     init = _Carry(
@@ -290,8 +337,35 @@ def align(
         a_sum=jnp.zeros((), f32),
         ind=indicator_ops.init_state(params.indicator_window_size),
         history=hist,
+        nl_overflow=jnp.zeros((), jnp.int32),
     )
-    final = lax.while_loop(cond, body, init)
+
+    if use_ell:
+        # Verlet nested loops: the outer loop rebuilds the candidate list at
+        # the current pose/ell; the inner loop iterates gather-free with the
+        # list as a closure constant, exiting when any target has drifted
+        # more than skin since build (while drift < skin and ell only
+        # decays, the list remains a superset of the kernel support).
+        def inner_cond(c: _Carry):
+            Rinv, Tinv = lie.invert_rt(c.R, c.T)
+            drift = nbr.drift_exceeded(
+                inner_cond.nl, target, Rinv, Tinv, nl_skin)
+            return jnp.logical_not(c.done) & (c.k < max_iter) & ~drift
+
+        def outer_body(c: _Carry) -> _Carry:
+            Rinv, Tinv = lie.invert_rt(c.R, c.T)
+            nl = nbr.build_neighbor_list(
+                params, c.ell, source, target, Rinv, Tinv,
+                k=nl_k, skin=nl_skin, per_cell_cap=nl_per_cell)
+            c = c._replace(
+                nl_overflow=jnp.maximum(c.nl_overflow, nl.overflow))
+            body.nl = nl
+            inner_cond.nl = nl
+            return lax.while_loop(inner_cond, body, c)
+
+        final = lax.while_loop(cond, outer_body, init)
+    else:
+        final = lax.while_loop(cond, body, init)
 
     Rf, Tf = lie.invert_rt(final.R, final.T)
     transform = lie.rt_to_mat44(Rf, Tf)
@@ -303,6 +377,7 @@ def align(
         nonzeros=final.nonzeros,
         inner_product=final.a_sum,
         history=final.history,
+        nl_overflow=final.nl_overflow if use_ell else None,
     )
     return transform, final.ret, info
 
