@@ -55,14 +55,19 @@ PER_CELL_CAP = 16             # targets stored per cell before the exact filter
 
 
 class NeighborList(NamedTuple):
-    """Static-shape candidate list + gathered raw target fields."""
+    """Static-shape candidate list + gathered raw target fields.
+
+    Per-candidate fields are stored component-major ([3, N, K], not
+    [N, K, 3]) so the K axis — a full 128-lane tile — is minor-most: a
+    trailing size-3 axis would land in the TPU lane dimension and waste
+    ~40x of every VPU op over these arrays."""
 
     idx: jax.Array                    # [N, K] int32 target index, -1 pad
     valid: jax.Array                  # [N, K] bool
-    y_xyz: jax.Array                  # [N, K, 3] RAW (untransformed) target xyz
-    y_feat: Optional[jax.Array]       # [N, K, F] or None
-    y_label: Optional[jax.Array]      # [N, K, C] or None
-    y_geo: Optional[jax.Array]        # [N, K, 2] or None
+    y_xyz: jax.Array                  # [3, N, K] RAW (untransformed) target xyz
+    y_feat: Optional[jax.Array]       # [F, N, K] or None
+    y_label: Optional[jax.Array]      # [C, N, K] or None
+    y_geo: Optional[jax.Array]        # [2, N, K] or None
     y_t_build: jax.Array              # [M, 3] transformed target at build time
     overflow: jax.Array               # [] int32: candidates dropped by the K cap
 
@@ -178,24 +183,30 @@ def build_neighbor_list(
     yc = yc_raw @ jnp.swapaxes(R_inv, -1, -2) + T_inv
 
     # exact filter + K nearest (the reference kd-tree mode keeps K nearest
-    # too, cukdtree.h:12; its ELL rows cap at num_neighbors)
+    # too, cukdtree.h:12; its ELL rows cap at num_neighbors). One
+    # multi-operand sort carries the payload (index + raw xyz) with the
+    # distance key, so the K-selection is a free static slice with no
+    # take_along_axis gathers afterwards.
     d2 = jnp.sum((x.xyz[:, None, :] - yc) ** 2, axis=-1)
     keep = (cand >= 0) & (d2 <= (r_i[:, None] ** 2)) & (x.mask[:, None] > 0)
-    score = jnp.where(keep, -d2, -jnp.inf)
-    top, sel = lax.top_k(score, k)                          # K nearest by d2
-    valid = jnp.isfinite(top)
-    idx = jnp.where(valid, jnp.take_along_axis(cand, sel, axis=1), -1)
-    y_xyz = jnp.take_along_axis(yc_raw, sel[..., None], axis=1)
-    y_xyz = jnp.where(valid[..., None], y_xyz, 0.0)
+    d2_key = jnp.where(keep, d2, jnp.inf)
+    d2_s, cand_s, yx, yy, yz = lax.sort(
+        (d2_key, cand, yc_raw[..., 0], yc_raw[..., 1], yc_raw[..., 2]),
+        dimension=1, num_keys=1)
+    valid = jnp.isfinite(d2_s[:, :k])
+    idx = jnp.where(valid, cand_s[:, :k], -1)
+    y_xyz = jnp.where(
+        valid[None],
+        jnp.stack([yx[:, :k], yy[:, :k], yz[:, :k]], axis=0), 0.0)
     overflow = (jnp.sum(keep) - jnp.sum(valid)).astype(jnp.int32) + \
         per_cell_dropped.astype(jnp.int32)
 
     def gather_field(a):
         """Per-candidate extra fields (intensity/semantics/geo-type runs):
-        one [N,K]-index row gather of the target array."""
+        one [N,K]-index row gather of the target array, component-major."""
         if a is None:
             return None
-        return a[jnp.where(idx >= 0, idx, 0)]
+        return jnp.moveaxis(a[jnp.where(idx >= 0, idx, 0)], -1, 0)
 
     return NeighborList(
         idx=idx,
@@ -215,9 +226,13 @@ def build_neighbor_list(
 def drift_exceeded(nl: NeighborList, target: PointCloud, R_inv, T_inv,
                    skin: float):
     """True when some valid target moved more than `skin` since build — the
-    Verlet rebuild trigger (exact per-point displacement, not a bound)."""
-    y_t = target.xyz @ jnp.swapaxes(R_inv, -1, -2) + T_inv
-    d2 = jnp.sum((y_t - nl.y_t_build) ** 2, axis=-1)
+    Verlet rebuild trigger (exact per-point displacement, not a bound).
+    Computed per axis over [M] vectors (lane-aligned)."""
+    d2 = 0.0
+    for c in range(3):
+        y_c = (target.xyz[:, 0] * R_inv[c, 0] + target.xyz[:, 1] * R_inv[c, 1]
+               + target.xyz[:, 2] * R_inv[c, 2] + T_inv[c])
+        d2 = d2 + (y_c - nl.y_t_build[:, c]) ** 2
     d2 = jnp.where(target.mask > 0, d2, 0.0)
     return jnp.max(d2) > jnp.float32(skin) ** 2
 
@@ -225,24 +240,27 @@ def drift_exceeded(nl: NeighborList, target: PointCloud, R_inv, T_inv,
 def kernel_slots(params, ell, x: PointCloud, y_t_slots, nl: NeighborList):
     """[N, K] kernel values — slot-wise transcription of kernel_block
     (fill_in_A_mat_gpu, CvoGPU.cu:477-593) with identical gates; padded
-    slots are exactly 0."""
+    slots are exactly 0. y_t_slots is component-major [3, N, K]; every
+    intermediate here is a lane-aligned [N, K] array."""
     f32 = jnp.float32
     sp = f32(params.sp_thres)
     a = None
     ok = nl.valid & (x.mask[:, None] > 0)
 
+    def col(arr, c):  # source column broadcast against [N,K]
+        return arr[:, c, None]
+
     if params.is_using_geometric_type:
-        xg = x.geometric_types[:, None, :]
-        yg = nl.y_geo
-        dot = jnp.sum(xg * yg, -1)
-        n2 = jnp.sum(xg * xg, -1) * jnp.sum(yg * yg, -1)
+        xg, yg = x.geometric_types, nl.y_geo
+        dot = col(xg, 0) * yg[0] + col(xg, 1) * yg[1]
+        n2 = (jnp.sum(xg * xg, -1)[:, None]) * (yg[0] * yg[0] + yg[1] * yg[1])
         geo = dot * dot / jnp.maximum(n2, 1e-12)
         ok &= geo >= 0.01
         a = geo
 
     if params.is_using_geometry:
         sigma2 = f32(params.sigma) ** 2
-        d2 = jnp.sum((x.xyz[:, None, :] - y_t_slots) ** 2, axis=-1)
+        d2 = sum((col(x.xyz, c) - y_t_slots[c]) ** 2 for c in range(3))
         l_i = jnp_kernels.range_ell(ell, jnp.linalg.norm(x.xyz, axis=-1))[:, None]
         two_l2 = 2.0 * l_i * l_i
         ok &= d2 < -two_l2 * jnp.log(sp / sigma2)
@@ -252,7 +270,8 @@ def kernel_slots(params, ell, x: PointCloud, y_t_slots, nl: NeighborList):
     if params.is_using_intensity:
         c_ell2 = f32(params.c_ell) ** 2
         c_sigma2 = f32(params.c_sigma) ** 2
-        d2c = jnp.sum((x.features[:, None, :] - nl.y_feat) ** 2, axis=-1)
+        F = x.feature_dim
+        d2c = sum((col(x.features, f) - nl.y_feat[f]) ** 2 for f in range(F))
         ok &= d2c < -2.0 * c_ell2 * jnp.log(sp / c_sigma2)
         ck = c_sigma2 * jnp.exp(-d2c / (2.0 * c_ell2))
         a = ck if a is None else a * ck
@@ -260,7 +279,8 @@ def kernel_slots(params, ell, x: PointCloud, y_t_slots, nl: NeighborList):
     if params.is_using_semantics:
         s_ell2 = f32(params.s_ell) ** 2
         s_sigma2 = f32(params.s_sigma) ** 2
-        d2s = jnp.sum((x.labels[:, None, :] - nl.y_label) ** 2, axis=-1)
+        C = x.num_classes
+        d2s = sum((col(x.labels, c) - nl.y_label[c]) ** 2 for c in range(C))
         ok &= d2s < -2.0 * s_ell2 * jnp.log(sp / s_sigma2)
         sk = s_sigma2 * jnp.exp(-d2s / (2.0 * s_ell2))
         a = sk if a is None else a * sk
@@ -273,18 +293,17 @@ def kernel_slots(params, ell, x: PointCloud, y_t_slots, nl: NeighborList):
 
 def flow_stats_ell(params, ell, x: PointCloud, nl: NeighborList, R_inv, T_inv
                    ) -> Tuple[jnp_kernels.FlowStats, jax.Array, jax.Array]:
-    """ELL flow pass. Returns (FlowStats, A [N,K], y_t_slots [N,K,3]); the
+    """ELL flow pass. Returns (FlowStats, A [N,K], y_t_slots [3,N,K]); the
     caller hands A and y_t_slots to step_coeffs_ell so the kernel matrix is
     computed ONCE per iteration (the tiled path must recompute it)."""
-    yr = nl.y_xyz
+    yr = nl.y_xyz                                            # [3,N,K]
     y_t_slots = jnp.stack(
-        [yr[..., 0] * R_inv[c, 0] + yr[..., 1] * R_inv[c, 1]
-         + yr[..., 2] * R_inv[c, 2] + T_inv[c] for c in range(3)], axis=-1)
+        [yr[0] * R_inv[c, 0] + yr[1] * R_inv[c, 1]
+         + yr[2] * R_inv[c, 2] + T_inv[c] for c in range(3)], axis=0)
     a = kernel_slots(params, ell, x, y_t_slots, nl)
     s = jnp.sum(a, axis=1)
-    # elementwise-broadcast reduction: a batched dot_general here lowers to
-    # N tiny [1,K]@[K,3] matmuls, which the MXU pads catastrophically
-    wy = jnp.sum(a[:, :, None] * y_t_slots, axis=1)
+    wy = jnp.stack([jnp.sum(a * y_t_slots[c], axis=1) for c in range(3)],
+                   axis=-1)
     stats = jnp_kernels.FlowStats(
         row_sum=s,
         row_wy=wy,
@@ -296,34 +315,35 @@ def flow_stats_ell(params, ell, x: PointCloud, nl: NeighborList, R_inv, T_inv
 
 def step_coeffs_ell(params, ell, x: PointCloud, a, y_t_slots, twist):
     """ELL step pass (compute_step_size_xi + compute_step_size_poly_coeff,
-    CvoGPU.cu:953-1082) reusing the cached kernel matrix `a`."""
+    CvoGPU.cu:953-1082) reusing the cached kernel matrix `a`.
+
+    All per-slot arrays are lane-aligned [N, K]; the 3-vector algebra is
+    unrolled per component (a trailing 3-axis would sit in the lane dim,
+    and batched [.,3]@[3,3] dot_generals lower to per-row tiny matmuls)."""
     f32 = jnp.float32
     omega, v = twist[:3], twist[3:]
     W = lie.skew(omega)
     W2, W3 = W @ W, W @ W @ W
     W4 = W2 @ W2
-    y = y_t_slots                                            # [N,K,3]
+    y = y_t_slots                                            # [3,N,K]
 
     def lin(Mm, b):
-        # y @ Mm.T + b as explicit scalar broadcasts: a batched [.,3]@[3,3]
-        # dot_general lowers to per-row tiny matmuls that the MXU pads
-        # catastrophically (measured 1.6 ms/iter -> 0.1 ms/iter here)
-        return jnp.stack(
-            [y[..., 0] * Mm[c, 0] + y[..., 1] * Mm[c, 1]
-             + y[..., 2] * Mm[c, 2] + b[c] for c in range(3)], axis=-1)
+        return [y[0] * Mm[c, 0] + y[1] * Mm[c, 1] + y[2] * Mm[c, 2] + b[c]
+                for c in range(3)]
 
     xiz = lin(W, v)
     xi2z = lin(W2, W @ v)
     xi3z = lin(W3, W2 @ v)
     xi4z = lin(W4, W3 @ v)
-    diff = x.xyz[:, None, :] - y                             # [N,K,3]
-    d1 = jnp.sum(diff * xiz, -1)
-    d2_ = jnp.sum(diff * xi2z, -1)
-    d3 = jnp.sum(diff * xi3z, -1)
-    d4 = jnp.sum(diff * xi4z, -1)
-    normxiz2 = jnp.sum(xiz * xiz, -1)
-    xdx2 = -jnp.sum(xiz * xi2z, -1)
-    epsc = jnp.sum(xi2z * xi2z, -1) + 2.0 * jnp.sum(xiz * xi3z, -1)
+    diff = [x.xyz[:, c, None] - y[c] for c in range(3)]      # 3 x [N,K]
+    dot3 = lambda p, q: p[0] * q[0] + p[1] * q[1] + p[2] * q[2]
+    d1 = dot3(diff, xiz)
+    d2_ = dot3(diff, xi2z)
+    d3 = dot3(diff, xi3z)
+    d4 = dot3(diff, xi4z)
+    normxiz2 = dot3(xiz, xiz)
+    xdx2 = -dot3(xiz, xi2z)
+    epsc = dot3(xi2z, xi2z) + 2.0 * dot3(xiz, xi3z)
 
     if params.is_using_range_ell:
         l_i = jnp_kernels.range_ell(ell, jnp.linalg.norm(x.xyz, axis=-1))
