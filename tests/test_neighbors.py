@@ -124,3 +124,30 @@ def test_auto_backend_gates():
 
     assert static_support_radius(_params(ell_init=0.15)) < 2.0
     assert static_support_radius(_params(ell_init=5.0)) > 2.0
+
+
+def test_irls_edge_moments_ell_matches_dense(rng):
+    """BA edge moments from the ELL list == the streaming dense pass."""
+    from unified_cvo_tpu.models import irls
+
+    params = _params(multiframe_ell_init=0.4)
+    xyz1 = _scene(rng, n=2048)
+    xyz2 = _scene(rng, n=2048) + np.float32([0.05, 0.0, 0.1])
+    c1 = make_pointcloud(xyz1, bucket=2048)
+    c2 = make_pointcloud(xyz2, bucket=2048)
+    T1 = np.eye(3, 4, dtype=np.float32)
+    xi = np.array([0.004, -0.002, 0.003, 0.02, 0.01, -0.03], np.float32)
+    Rd, td = lie.se3_exp(jnp.asarray(xi), 1.0)
+    T2 = np.concatenate([np.asarray(Rd), np.asarray(td)[:, None]], 1).astype(np.float32)
+    ell = jnp.float32(0.4)
+
+    ref = irls._edge_moments_single(params, ell, c1, c2,
+                                    jnp.asarray(T1), jnp.asarray(T2), 512)
+    got = irls._edge_moments_single_ell(params, ell, c1, c2,
+                                        jnp.asarray(T1), jnp.asarray(T2),
+                                        nl_k=192, nl_per_cell=32)
+    assert int(got.nonzeros) == int(ref.nonzeros)
+    for name in ("P11", "P12", "P22"):
+        np.testing.assert_allclose(
+            getattr(got, name), getattr(ref, name), rtol=2e-4, atol=2e-3,
+            err_msg=name)

@@ -100,6 +100,50 @@ def _edge_moments_single(params, ell, c1: PointCloud, c2: PointCloud,
     return EdgeMoments(P11, P12, P22, cnt)
 
 
+def _edge_moments_single_ell(params, ell, c1: PointCloud, c2: PointCloud,
+                             T1, T2, nl_k: int, nl_per_cell: int) -> EdgeMoments:
+    """ELL-neighbor-list edge moments — same contract as
+    _edge_moments_single, ~10x cheaper at BA sparsity.
+
+    The candidate list is built fresh per outer iteration (the reference
+    recomputes each edge's kernel matrix then too, IRLS_State_GPU.cu:43-79),
+    between the TRANSFORMED clouds; the moments are over ORIGINAL
+    coordinates, recovered from the list's raw gathered slots — P22 needs no
+    scatter back to target indices because sum_j colsum_j h2_j h2_j^T ==
+    sum_slots a * h2 h2^T evaluated slotwise."""
+    from unified_cvo_tpu.ops import neighbors as nbr
+
+    R1, t1 = T1[:, :3], T1[:, 3]
+    R2, t2 = T2[:, :3], T2[:, 3]
+    c1_t = c1.transformed(R1, t1)
+    nl = nbr.build_neighbor_list(
+        params, ell, c1_t, c2, R2, t2, k=nl_k, skin=0.0,
+        per_cell_cap=nl_per_cell)
+    stats, a, y_t_slots = nbr.flow_stats_ell(params, ell, c1_t, nl, R2, t2)
+
+    h1 = _homog(c1.xyz)                                     # [N,4] original
+    rs = stats.row_sum
+    P11 = kernels._mm((h1 * rs[:, None]).T, h1)
+    # a_h2[:, p] = sum_k a * h2_p (h2 = [raw y; 1]) — lane-aligned [N,K] sums
+    ah2 = jnp.stack(
+        [jnp.sum(a * nl.y_xyz[c], axis=1) for c in range(3)] + [rs], axis=-1)
+    P12 = kernels._mm(h1.T, ah2)
+    # P22[p,q] = sum_slots a * h2_p h2_q, 10 unique entries
+    h2 = (nl.y_xyz[0], nl.y_xyz[1], nl.y_xyz[2], None)      # None = the 1 row
+    ent = {}
+    for p in range(4):
+        for q in range(p, 4):
+            if p == 3 and q == 3:
+                ent[(p, q)] = jnp.sum(a)
+            elif q == 3:
+                ent[(p, q)] = jnp.sum(a * h2[p])
+            else:
+                ent[(p, q)] = jnp.sum(a * h2[p] * h2[q])
+    P22 = jnp.asarray(
+        [[ent[(min(p, q), max(p, q))] for q in range(4)] for p in range(4)])
+    return EdgeMoments(P11, P12, P22, stats.nonzeros)
+
+
 def _skew(v):
     return lie.skew(v)
 
@@ -199,17 +243,45 @@ def _assemble_and_solve(poses, edge_i, edge_j, moments: EdgeMoments,
     return poses_new, total_cost, jnp.linalg.norm(delta)
 
 
-def make_irls_kernels(params: CvoParams, chunk: int = 1024):
-    """Jitted (moments, gn_iterations) closures for a fixed params object."""
+def make_irls_kernels(params: CvoParams, chunk: int = 1024,
+                      backend: str = "auto", nl_k: int = 128,
+                      nl_per_cell: int = 32, cloud_capacity: int = 0):
+    """Jitted (moments, gn_iterations) closures for a fixed params object.
+
+    backend: 'auto', 'ell', or 'dense'. Unlike the pairwise align loop —
+    where ONE candidate-list build amortizes over ~100 gather-free
+    iterations — each BA outer iteration uses its kernel pass once, so the
+    list build (~40 ms at 8k points) outweighs the vmapped dense streaming
+    pass (~2.4 ms/edge, measured) until clouds are very large. 'auto'
+    therefore stays dense below 32k points."""
+    if backend == "auto":
+        from unified_cvo_tpu.ops import neighbors as nbr
+
+        est = nbr.static_support_radius(
+            params.replace(ell_init=params.multiframe_ell_init))
+        backend = (
+            "ell"
+            if bool(params.is_using_geometry) and est <= 2.0
+            and cloud_capacity >= 32768
+            else "dense"
+        )
 
     @functools.partial(jax.jit, static_argnames=())
     def moments_fn(clouds: PointCloud, poses, edge_i, edge_j, ell):
-        def one(ei, ej):
+        def one(args):
+            ei, ej = args
             c1 = jax.tree.map(lambda a: a[ei] if a is not None else None, clouds)
             c2 = jax.tree.map(lambda a: a[ej] if a is not None else None, clouds)
+            if backend == "ell":
+                return _edge_moments_single_ell(
+                    params, ell, c1, c2, poses[ei], poses[ej], nl_k, nl_per_cell)
             return _edge_moments_single(params, ell, c1, c2, poses[ei], poses[ej], chunk)
 
-        return jax.vmap(one)(edge_i, edge_j)
+        if backend == "ell":
+            # sequential over edges: the per-edge grid tables are large, and
+            # each edge already saturates the chip
+            return lax.map(one, (edge_i, edge_j))
+        return jax.vmap(one)((edge_i, edge_j))
 
     @functools.partial(jax.jit, static_argnames=("n_iters",))
     def gn_fn(poses, edge_i, edge_j, moments, edge_active, pivot_mask,
@@ -242,6 +314,7 @@ def irls_solve(
     checkpoint_path: Optional[str] = None,
     resume: bool = False,
     translation_only: bool = False,
+    backend: str = "auto",
 ):
     """Host-driven outer IRLS loop (the CvoBatchIRLS::solve twin).
 
@@ -254,7 +327,9 @@ def irls_solve(
     from it — the BA analogue of the reference's start-frame resumability
     (SURVEY.md §5 checkpoint/resume).
     """
-    moments_fn, gn_fn = make_irls_kernels(params, chunk)
+    moments_fn, gn_fn = make_irls_kernels(
+        params, chunk, backend=backend,
+        cloud_capacity=int(clouds.xyz.shape[1]))
     dof_mask = (
         jnp.asarray([0, 0, 0, 1, 1, 1], jnp.float32) if translation_only else None
     )
