@@ -103,9 +103,9 @@ def align(
     spatial_culling: bool = True,
     tile_i: Optional[int] = None,
     tile_j: Optional[int] = None,
-    nl_k: int = 128,
+    nl_k: int = 96,
     nl_skin: float = 0.5,
-    nl_per_cell: int = 16,
+    nl_per_cell: int = 12,
 ):
     """Register target onto source. Returns (transform[4,4], ret, AlignInfo).
 

@@ -48,10 +48,10 @@ from unified_cvo_tpu.ops import kernels as jnp_kernels
 from unified_cvo_tpu.ops import lie
 from unified_cvo_tpu.utils.pointcloud import PointCloud
 
-DEFAULT_K = 128
+DEFAULT_K = 96
 DEFAULT_SKIN = 0.5
 GRID_DIMS = (64, 32, 64)      # static voxel grid (131072 cells)
-PER_CELL_CAP = 16             # targets stored per cell before the exact filter
+PER_CELL_CAP = 12             # targets stored per cell before the exact filter
 
 
 class NeighborList(NamedTuple):
