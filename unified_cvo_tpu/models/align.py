@@ -64,9 +64,12 @@ class _Carry(NamedTuple):
     ind: indicator_ops.IndicatorState
     history: Optional[dict]
     nl_overflow: jax.Array  # ELL: dropped candidates across builds
+    fresh: jax.Array        # ELL: just rebuilt -> inner loop must run once
+    #   (structural progress guarantee: without it a drift test that fires
+    #   immediately after a rebuild would livelock the nested loops)
 
 
-def _stats_fns(backend: str, chunk: int):
+def _stats_fns(backend: str, chunk: int, tile_i=None, tile_j=None):
     """(flow_stats, step_coeffs) for the chosen compute backend."""
     if backend == "jnp":
         flow = lambda p, ell, x, y: kernels.flow_stats(p, ell, x, y, chunk)
@@ -75,9 +78,12 @@ def _stats_fns(backend: str, chunk: int):
     from unified_cvo_tpu.ops import pallas_kernels as pk
 
     interp = backend == "pallas_interpret"
-    flow = lambda p, ell, x, y: pk.flow_stats_pallas(p, ell, x, y, interpret=interp)
+    ti = pk.DEFAULT_TILE_I if tile_i is None else tile_i
+    tj = pk.DEFAULT_TILE_J if tile_j is None else tile_j
+    flow = lambda p, ell, x, y: pk.flow_stats_pallas(
+        p, ell, x, y, tile_i=ti, tile_j=tj, interpret=interp)
     step = lambda p, ell, x, y, tw: pk.step_coeffs_pallas(
-        p, ell, x, y, tw, interpret=interp
+        p, ell, x, y, tw, tile_i=ti, tile_j=tj, interpret=interp
     )
     return flow, step
 
@@ -103,9 +109,9 @@ def align(
     spatial_culling: bool = True,
     tile_i: Optional[int] = None,
     tile_j: Optional[int] = None,
-    nl_k: int = 96,
-    nl_skin: float = 0.5,
-    nl_per_cell: int = 12,
+    nl_k: Optional[int] = None,
+    nl_skin: Optional[float] = None,
+    nl_per_cell: Optional[int] = None,
 ):
     """Register target onto source. Returns (transform[4,4], ret, AlignInfo).
 
@@ -166,6 +172,22 @@ def align(
     if use_ell:
         from unified_cvo_tpu.ops import neighbors as nbr
 
+        # soundness preconditions of the candidate list (what the auto gate
+        # checks): a growing ell (ACVO) widens the support without moving
+        # targets, so the drift-based rebuild never fires on a stale list;
+        # without the geometric channel nothing bounds the support radius
+        if adaptive_ell:
+            raise ValueError(
+                "backend='ell' is unsound with adaptive_ell (ell can grow "
+                "without triggering a rebuild); use 'pallas' or 'jnp'")
+        if not params.is_using_geometry:
+            raise ValueError(
+                "backend='ell' needs the geometric channel to bound the "
+                "kernel support; use 'pallas' or 'jnp'")
+        nl_k = nbr.DEFAULT_K if nl_k is None else nl_k
+        nl_skin = nbr.DEFAULT_SKIN if nl_skin is None else nl_skin
+        nl_per_cell = nbr.PER_CELL_CAP if nl_per_cell is None else nl_per_cell
+
     # spatial tile culling (Pallas backends only): Morton-sort both clouds
     # once so tiles are spatially compact, then per iteration cull
     # (source-tile x target-tile) pairs beyond the kernel support (the
@@ -208,7 +230,7 @@ def align(
                                          tile_j=tile_j, compaction=comp,
                                          interpret=interp)
     else:
-        _flow, _step = _stats_fns(backend, chunk)
+        _flow, _step = _stats_fns(backend, chunk, tile_i, tile_j)
         prep_fn = lambda p, ell, x, y_t: None
         flow_fn = lambda p, ell, x, y_t, comp: _flow(p, ell, x, y_t)
         step_fn = lambda p, ell, x, y_t, tw, comp: _step(p, ell, x, y_t, tw)
@@ -327,6 +349,7 @@ def align(
             ind=ind_new,
             history=hist_new,
             nl_overflow=c.nl_overflow,
+            fresh=jnp.zeros((), bool),
         )
 
     init = _Carry(
@@ -343,6 +366,7 @@ def align(
         ind=indicator_ops.init_state(params.indicator_window_size),
         history=hist,
         nl_overflow=jnp.zeros((), jnp.int32),
+        fresh=jnp.zeros((), bool),
     )
 
     if use_ell:
@@ -355,7 +379,8 @@ def align(
             Rinv, Tinv = lie.invert_rt(c.R, c.T)
             drift = nbr.drift_exceeded(
                 inner_cond.nl, target, Rinv, Tinv, nl_skin)
-            return jnp.logical_not(c.done) & (c.k < max_iter) & ~drift
+            return (jnp.logical_not(c.done) & (c.k < max_iter)
+                    & (c.fresh | ~drift))
 
         def outer_body(c: _Carry) -> _Carry:
             Rinv, Tinv = lie.invert_rt(c.R, c.T)
@@ -363,7 +388,9 @@ def align(
                 params, c.ell, source, target, Rinv, Tinv,
                 k=nl_k, skin=nl_skin, per_cell_cap=nl_per_cell)
             c = c._replace(
-                nl_overflow=jnp.maximum(c.nl_overflow, nl.overflow))
+                nl_overflow=jnp.maximum(c.nl_overflow, nl.overflow),
+                fresh=jnp.ones((), bool),
+            )
             body.nl = nl
             inner_cond.nl = nl
             return lax.while_loop(inner_cond, body, c)

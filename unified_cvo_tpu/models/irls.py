@@ -45,6 +45,7 @@ class EdgeMoments(NamedTuple):
     P12: jax.Array       # [E,4,4]
     P22: jax.Array       # [E,4,4]
     nonzeros: jax.Array  # [E] int32
+    overflow: jax.Array  # [E] int32: ELL candidate drops (0 on the dense path)
 
 
 def _homog(xyz):
@@ -97,7 +98,7 @@ def _edge_moments_single(params, ell, c1: PointCloud, c2: PointCloud,
     P12 = kernels._mm(h1.T, a_h2)
     P11 = kernels._mm((h1 * row_sum[:, None]).T, h1)
     P22 = kernels._mm((h2 * col_sum[:, None]).T, h2)
-    return EdgeMoments(P11, P12, P22, cnt)
+    return EdgeMoments(P11, P12, P22, cnt, jnp.zeros((), jnp.int32))
 
 
 def _edge_moments_single_ell(params, ell, c1: PointCloud, c2: PointCloud,
@@ -141,7 +142,7 @@ def _edge_moments_single_ell(params, ell, c1: PointCloud, c2: PointCloud,
                 ent[(p, q)] = jnp.sum(a * h2[p] * h2[q])
     P22 = jnp.asarray(
         [[ent[(min(p, q), max(p, q))] for q in range(4)] for p in range(4)])
-    return EdgeMoments(P11, P12, P22, stats.nonzeros)
+    return EdgeMoments(P11, P12, P22, stats.nonzeros, nl.overflow)
 
 
 def _skew(v):
@@ -366,6 +367,10 @@ def irls_solve(
     while True:
         mom = moments_fn(clouds, poses, edge_i, edge_j, jnp.float32(ell))
         nz = np.asarray(mom.nonzeros)
+        overflow = int(np.asarray(mom.overflow).sum())
+        if overflow > 0:
+            log(f"WARNING: ELL neighbor caps dropped {overflow} candidate "
+                f"pairs — raise nl_k / nl_per_cell or use backend='dense'")
         edge_active = jnp.asarray(nz > params.multiframe_min_nonzeros)
         total_nonzeros = int(nz.sum())
         log(f"iter {iter_}: ell={ell:.4f} nonzeros={total_nonzeros} "

@@ -92,6 +92,14 @@ def static_support_radius(params) -> float:
         2.0 * math.log(arg))
 
 
+def _transform_cols(xyz, R_inv, T_inv):
+    """Rigid transform as per-component [M] broadcasts (lane-aligned, and
+    the single shared formulation for build / drift / consume)."""
+    return jnp.stack(
+        [xyz[:, 0] * R_inv[c, 0] + xyz[:, 1] * R_inv[c, 1]
+         + xyz[:, 2] * R_inv[c, 2] + T_inv[c] for c in range(3)], axis=-1)
+
+
 def build_neighbor_list(
     params,
     ell,
@@ -119,7 +127,11 @@ def build_neighbor_list(
     gx, gy, gz = GRID_DIMS
     n_cells = gx * gy * gz
 
-    y_t = target.xyz @ jnp.swapaxes(R_inv, -1, -2) + T_inv  # [M,3]
+    # per-component transform: EXACTLY the arithmetic drift_exceeded uses,
+    # so drift right after a rebuild is bitwise zero and the skin margin is
+    # never eaten by transform-formulation mismatch (the package pins
+    # HIGHEST matmul precision, but identical-formula is stronger)
+    y_t = _transform_cols(target.xyz, R_inv, T_inv)         # [M,3]
     r_i = support_radius(params, ell, x) + f32(skin)        # [N]
     r_max = jnp.max(jnp.where(x.mask > 0, r_i, 0.0))
 
@@ -180,14 +192,15 @@ def build_neighbor_list(
     pool = tab[cid].reshape(N, 27 * P, 4)                   # [N,27P,4]
     cand = pool[..., 3].astype(jnp.int32)                   # -1 = empty slot
     yc_raw = pool[..., :3]
-    yc = yc_raw @ jnp.swapaxes(R_inv, -1, -2) + T_inv
+    yc_t = [pool[..., 0] * R_inv[c, 0] + pool[..., 1] * R_inv[c, 1]
+            + pool[..., 2] * R_inv[c, 2] + T_inv[c] for c in range(3)]
 
     # exact filter + K nearest (the reference kd-tree mode keeps K nearest
     # too, cukdtree.h:12; its ELL rows cap at num_neighbors). One
     # multi-operand sort carries the payload (index + raw xyz) with the
     # distance key, so the K-selection is a free static slice with no
     # take_along_axis gathers afterwards.
-    d2 = jnp.sum((x.xyz[:, None, :] - yc) ** 2, axis=-1)
+    d2 = sum((x.xyz[:, c, None] - yc_t[c]) ** 2 for c in range(3))
     keep = (cand >= 0) & (d2 <= (r_i[:, None] ** 2)) & (x.mask[:, None] > 0)
     d2_key = jnp.where(keep, d2, jnp.inf)
     d2_s, cand_s, yx, yy, yz = lax.sort(
