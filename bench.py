@@ -194,4 +194,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # transient remote-TPU hiccups (observed once:
+        # FAILED_PRECONDITION on a first-run fetch); one clean retry
+        log(f"bench attempt failed ({type(e).__name__}: {e}); retrying once")
+        main()

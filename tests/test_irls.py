@@ -152,3 +152,35 @@ def test_gn_preserves_pivot(rng):
     )
     np.testing.assert_array_equal(poses[0], init[0])
     assert not np.allclose(poses[1], init[1])  # free frame moved
+
+
+def test_device_solver_matches_host_loop(rng):
+    """make_irls_solver (whole outer loop in one jitted while_loop) must
+    reproduce the host-driven irls_solve schedule and poses."""
+    p = _params()
+    base = _bunnyish(rng, 256)
+    F = 4
+    clouds = [make_pointcloud(base, bucket=256)]
+    rngs = np.random.default_rng(7)
+    for f in range(1, F):
+        xi = 0.1 * rngs.normal(size=6).astype(np.float32)
+        R, t = (np.asarray(v) for v in lie.se3_exp(jnp.asarray(xi), 1.0))
+        clouds.append(make_pointcloud(((base - t) @ R).astype(np.float32),
+                                      bucket=256))
+    stacked = irls.stack_clouds(clouds)
+    init = np.tile(np.eye(3, 4, dtype=np.float32), (F, 1, 1))
+    edges = [(i, j) for i in range(F) for j in range(i + 1, F)]
+    pivots = [True] + [False] * (F - 1)
+
+    host_poses, hist = irls.irls_solve(stacked, init, edges, pivots, p,
+                                       chunk=256)
+    solve = irls.make_irls_solver(p, chunk=256,
+                                  cloud_capacity=int(stacked.xyz.shape[1]))
+    dev_poses, info = solve(
+        stacked, jnp.asarray(init),
+        jnp.asarray([e[0] for e in edges], jnp.int32),
+        jnp.asarray([e[1] for e in edges], jnp.int32),
+        jnp.asarray(np.asarray(pivots, np.float32)))
+    assert int(info["it"]) >= len(hist)  # schedule length modulo final round
+    np.testing.assert_allclose(np.asarray(dev_poses), host_poses,
+                               rtol=1e-4, atol=1e-4)

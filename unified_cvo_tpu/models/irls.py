@@ -304,6 +304,93 @@ def make_irls_kernels(params: CvoParams, chunk: int = 1024,
     return moments_fn, gn_fn
 
 
+def make_irls_solver(
+    params: CvoParams,
+    chunk: int = 1024,
+    backend: str = "auto",
+    cloud_capacity: int = 0,
+    translation_only: bool = False,
+):
+    """Fully on-device IRLS solve — the whole CvoBatchIRLS outer loop
+    (IRLS.cpp:77-215 schedule: min-nonzeros edge gating, solve while total
+    nonzeros grow, else decay ell, stop below multiframe_ell_min) inside ONE
+    jitted lax.while_loop. The host-driven irls_solve keeps per-iteration
+    logging/checkpointing; this variant eliminates every host round-trip
+    (one sync per BA solve), for production serving and remote-TPU links
+    where each sync costs ~25 ms.
+
+    Returns solve(clouds, init_poses [F,3,4], edge_i [E], edge_j [E],
+    pivot_mask [F]) -> (poses [F,3,4], info dict of scalars).
+    """
+    moments_fn, gn_fn = make_irls_kernels(
+        params, chunk, backend=backend, cloud_capacity=cloud_capacity)
+    dof_mask = (
+        jnp.asarray([0, 0, 0, 1, 1, 1], jnp.float32) if translation_only else None
+    )
+    f32 = jnp.float32
+    n_solve = int(params.multiframe_iterations_per_solve)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def solve(clouds: PointCloud, init_poses, edge_i, edge_j, pivot_mask):
+        poses0 = jnp.asarray(init_poses, f32)
+        world_center = jnp.mean(poses0[:, :, 3], axis=0)
+        poses0 = poses0.at[:, :, 3].add(-world_center)
+
+        def cond(c):
+            return jnp.logical_not(c["done"])
+
+        def body(c):
+            mom = moments_fn(clouds, c["poses"], edge_i, edge_j, c["ell"])
+            nz = mom.nonzeros
+            edge_active = nz > params.multiframe_min_nonzeros
+            total = jnp.sum(nz)
+            any_active = jnp.any(edge_active)
+            stop_now = (~any_active) | (c["it"] >= params.multiframe_max_iters)
+            do_solve = (total > c["last_nz"]) | (
+                c["it"] < params.multiframe_iterations_per_ell)
+
+            def run_solve(poses):
+                p, cost, dn = gn_fn(
+                    poses, edge_i, edge_j, mom, edge_active, pivot_mask,
+                    n_solve, dof_mask=dof_mask)
+                return p, cost
+
+            poses_new, cost = lax.cond(
+                do_solve & ~stop_now, run_solve,
+                lambda p: (p, c["cost"]), c["poses"])
+            can_decay = c["ell"] >= params.multiframe_ell_min
+            decay_now = ~stop_now & ~do_solve & can_decay
+            ell_new = jnp.where(
+                decay_now, c["ell"] * params.multiframe_ell_decay_rate,
+                c["ell"])
+            last_new = jnp.where(
+                ~stop_now & do_solve, total.astype(jnp.int32),
+                jnp.where(decay_now, 0, c["last_nz"]))
+            done = stop_now | (~do_solve & ~can_decay)
+            return {
+                "poses": poses_new, "ell": ell_new,
+                "last_nz": last_new, "it": c["it"] + 1,
+                "done": done, "cost": cost,
+                "nonzeros": total.astype(jnp.int32),
+                "overflow": c["overflow"] + jnp.sum(mom.overflow),
+            }
+
+        init = {
+            "poses": poses0, "ell": jnp.asarray(params.multiframe_ell_init, f32),
+            "last_nz": jnp.zeros((), jnp.int32), "it": jnp.zeros((), jnp.int32),
+            "done": jnp.zeros((), bool), "cost": jnp.zeros((), f32),
+            "nonzeros": jnp.zeros((), jnp.int32),
+            "overflow": jnp.zeros((), jnp.int32),
+        }
+        final = lax.while_loop(cond, body, init)
+        poses = final["poses"].at[:, :, 3].add(world_center)
+        info = {k: final[k] for k in
+                ("ell", "it", "cost", "nonzeros", "overflow")}
+        return poses, info
+
+    return solve
+
+
 def irls_solve(
     clouds: PointCloud,
     init_poses: np.ndarray,
