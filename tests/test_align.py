@@ -144,3 +144,27 @@ def test_align_history_recording():
     assert h is not None and k >= 1
     assert np.all(np.asarray(h["ell"])[:k] > 0)
     assert np.all(np.asarray(h["step"])[:k] >= p.min_step)
+
+
+def test_align_is_deterministic():
+    """Same inputs => bitwise-identical outputs across runs (the functional
+    replacement for the reference's absent race detection, SURVEY.md §5:
+    no atomics, no stream races, one deterministic trace)."""
+    rng = np.random.default_rng(3)
+    xyz, feats = _bunnyish_cloud(rng)
+    p = CvoParams(ell_init=0.5, max_step=0.1, is_using_geometry=1)
+    src = make_pointcloud(xyz, bucket=64)
+    tgt = make_pointcloud(xyz + np.float32([0.05, 0.0, 0.02]), bucket=64)
+    outs = [align(src, tgt, jnp.eye(4), p, max_iter=50) for _ in range(2)]
+    np.testing.assert_array_equal(np.asarray(outs[0][0]), np.asarray(outs[1][0]))
+    assert int(outs[0][2].iterations) == int(outs[1][2].iterations)
+
+
+def test_debug_nans_context():
+    from unified_cvo_tpu.utils.logging import debug_nans
+
+    with debug_nans():
+        import pytest as _pytest
+
+        with _pytest.raises(FloatingPointError):
+            jnp.log(jnp.float32(-1.0)) + 1.0

@@ -60,3 +60,19 @@ def profiler_trace(log_dir: Optional[str]):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+@contextlib.contextmanager
+def debug_nans(enable: bool = True):
+    """jax_debug_nans context — the functional-purity replacement for the
+    reference's (absent) sanitizers (SURVEY.md §5: JAX removes the CUDA
+    benign-race class by construction; NaN propagation is the remaining
+    failure mode, surfaced eagerly here)."""
+    import jax
+
+    prev = jax.config.jax_debug_nans
+    jax.config.update("jax_debug_nans", bool(enable))
+    try:
+        yield
+    finally:
+        jax.config.update("jax_debug_nans", prev)
