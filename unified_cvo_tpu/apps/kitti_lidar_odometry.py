@@ -12,16 +12,14 @@ align frame-to-frame with constant-velocity init, accumulate KITTI rows.
 from __future__ import annotations
 
 import sys
-import time
 
 import numpy as np
 
-import jax.numpy as jnp
 
+from unified_cvo_tpu.apps._odometry_common import run_pipelined
 from unified_cvo_tpu.config import read_cvo_params_yaml
 from unified_cvo_tpu.datasets.kitti import KittiHandler, write_kitti_pose_row
 from unified_cvo_tpu.frontend.lidar import pointcloud_from_lidar
-from unified_cvo_tpu.models.align import align
 
 CAPACITY = 16384
 
@@ -40,36 +38,31 @@ def run_sequence(seq_dir, param_file, out_path, start_frame=0, max_frames=100000
         raise RuntimeError("empty sequence")
     source = pointcloud_from_lidar(pts, capacity=CAPACITY)
 
-    init_guess = np.eye(4, dtype=np.float32)
     accum = np.eye(4, dtype=np.float64)
     poses = [accum.copy()]
-    total_time = 0.0
     n_frames = min(len(kitti), start_frame + max_frames)
 
-    for i in range(start_frame, n_frames - 1):
+    def read_target(i):
         kitti.next()
         pts = kitti.read_next_lidar()
         if pts is None:
-            break
-        target = pointcloud_from_lidar(pts, capacity=CAPACITY)
-        p = first_params if i == start_frame else params
-        t0 = time.time()
-        T, ret, info = align(
-            source, target, jnp.asarray(np.linalg.inv(init_guess).astype(np.float32)),
-            p, chunk=chunk, max_iter=max_iter,
-        )
-        result = np.asarray(T).astype(np.float64)
-        total_time += time.time() - t0
-        init_guess = result.astype(np.float32)
+            return None
+        return pointcloud_from_lidar(pts, capacity=CAPACITY), None
+
+    def on_result(i, result, ret, info, aux, t_frontend, t_block):
+        nonlocal accum
         accum = accum @ result
         poses.append(accum.copy())
         write_kitti_pose_row(out, accum)
         log(f"frame {i}->{i+1}: iters={int(info.iterations)} ret={int(ret)} "
             f"ell={float(info.final_ell):.3f}")
-        source = target
 
+    n_aligned, total_block = run_pipelined(
+        source, range(start_frame, n_frames - 1), read_target, params,
+        first_params, on_result, chunk=chunk, max_iter=max_iter, log=log,
+    )
     out.close()
-    log(f"Average registration time is {total_time / max(len(poses) - 1, 1):.3f}")
+    log(f"Average registration time is {total_block / max(n_aligned, 1):.3f}")
     return np.asarray(poses)
 
 

@@ -19,16 +19,13 @@ num_classes + semantic CvoPointCloud).
 from __future__ import annotations
 
 import sys
-import time
 
 import numpy as np
 
-import jax.numpy as jnp
-
+from unified_cvo_tpu.apps._odometry_common import run_pipelined
 from unified_cvo_tpu.config import read_cvo_params_yaml
 from unified_cvo_tpu.datasets.kitti import KittiHandler, write_kitti_pose_row
 from unified_cvo_tpu.frontend.pipeline import pointcloud_from_stereo
-from unified_cvo_tpu.models.align import align
 
 CAPACITY = 32768  # one jit trace for all frames (28k max FAST budget + pad)
 
@@ -77,55 +74,38 @@ def run_sequence(
         raise RuntimeError("empty sequence")
     source = build_cloud(*frame)
 
-    init_guess = np.eye(4, dtype=np.float32)
     accum = np.eye(4, dtype=np.float64)
-    total_time = 0.0
     n_frames = min(len(kitti), start_frame + max_frames)
     poses = [accum.copy()]
 
-    for i in range(start_frame, n_frames - 1):
+    def read_target(i):
         kitti.next()
         frame = read_frame()
-        if frame is None:
-            break
-        t0 = time.time()
-        target = build_cloud(*frame)
-        t_frontend = time.time() - t0
+        return None if frame is None else (build_cloud(*frame), None)
 
-        p = first_params if i == start_frame else params
-        t0 = time.time()
-        T, ret, info = align(
-            source,
-            target,
-            jnp.asarray(np.linalg.inv(init_guess).astype(np.float32)),
-            p,
-            chunk=chunk,
-            max_iter=max_iter,
-        )
-        result = np.asarray(T).astype(np.float64)
-        t_align = time.time() - t0
-        total_time += t_align
-
-        init_guess = result.astype(np.float32)
+    def on_result(i, result, ret, info, aux, t_frontend, t_block):
+        nonlocal accum
         accum = accum @ result
         poses.append(accum.copy())
         write_kitti_pose_row(out, accum)
         log(
             f"frame {i}->{i+1}: iters={int(info.iterations)} "
             f"ell={float(info.final_ell):.3f} ret={int(ret)} "
-            f"frontend={t_frontend:.2f}s align={t_align:.2f}s"
+            f"frontend={t_frontend:.2f}s wait={t_block:.2f}s"
         )
         metrics.log(
             frame=i + 1, iterations=int(info.iterations), ret=int(ret),
             final_ell=float(info.final_ell), nonzeros=int(info.nonzeros),
-            frontend_seconds=t_frontend, align_seconds=t_align,
+            frontend_seconds=t_frontend, align_wait_seconds=t_block,
         )
-        source = target
 
+    n_aligned, total_block = run_pipelined(
+        source, range(start_frame, n_frames - 1), read_target, params,
+        first_params, on_result, chunk=chunk, max_iter=max_iter, log=log,
+    )
     metrics.close()
     out.close()
-    n_aligned = len(poses) - 1
-    log(f"Average registration time is {total_time / max(n_aligned, 1):.3f}")
+    log(f"Average registration time is {total_block / max(n_aligned, 1):.3f}")
     return np.asarray(poses)
 
 

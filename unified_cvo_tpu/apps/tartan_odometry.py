@@ -14,17 +14,15 @@ The first pair uses the *_first_frame parameter swap (main:40-48).
 from __future__ import annotations
 
 import sys
-import time
 
 import numpy as np
 
-import jax.numpy as jnp
 
 from unified_cvo_tpu.apps._ba_common import write_xyzq_traj
+from unified_cvo_tpu.apps._odometry_common import run_pipelined
 from unified_cvo_tpu.config import read_cvo_params_yaml
 from unified_cvo_tpu.datasets.tartanair import TartanAirHandler
 from unified_cvo_tpu.frontend.pipeline import pointcloud_from_rgbd
-from unified_cvo_tpu.models.align import align
 
 CAPACITY = 32768
 
@@ -42,35 +40,31 @@ def run_sequence(traj_dir, param_file, out_path, start_frame=0, max_frames=10000
         raise RuntimeError("empty sequence")
     source = pointcloud_from_rgbd(pair[0], pair[1], calib, capacity=capacity)
 
-    init_guess = np.eye(4, dtype=np.float32)
     accum = np.eye(4, dtype=np.float64)
     poses = [accum.copy()]
-    total_time = 0.0
     n_frames = min(len(tartan), start_frame + max_frames)
 
-    for i in range(start_frame, n_frames - 1):
+    def read_target(i):
         tartan.next()
         pair = tartan.read_next_rgbd()
         if pair is None:
-            break
-        target = pointcloud_from_rgbd(pair[0], pair[1], calib, capacity=capacity)
-        p = first_params if i == start_frame else params
-        t0 = time.time()
-        T, ret, info = align(
-            source, target, jnp.asarray(np.linalg.inv(init_guess).astype(np.float32)),
-            p, chunk=chunk, max_iter=max_iter,
-        )
-        result = np.asarray(T).astype(np.float64)
-        total_time += time.time() - t0
-        init_guess = result.astype(np.float32)
+            return None
+        return pointcloud_from_rgbd(pair[0], pair[1], calib,
+                                    capacity=capacity), None
+
+    def on_result(i, result, ret, info, aux, t_frontend, t_block):
+        nonlocal accum
         accum = accum @ result
         poses.append(accum.copy())
         write_xyzq_traj(out_path, [T[:3, :4] for T in poses])  # flush-style rewrite
         log(f"frame {i}->{i+1}: iters={int(info.iterations)} ret={int(ret)} "
             f"ell={float(info.final_ell):.3f}")
-        source = target
 
-    log(f"Average registration time is {total_time / max(len(poses) - 1, 1):.3f}")
+    n_aligned, total_block = run_pipelined(
+        source, range(start_frame, n_frames - 1), read_target, params,
+        first_params, on_result, chunk=chunk, max_iter=max_iter, log=log,
+    )
+    log(f"Average registration time is {total_block / max(n_aligned, 1):.3f}")
     return np.asarray(poses)
 
 

@@ -11,16 +11,14 @@ accumulated camera poses. Mirrors src/experiments/main_cvo_gpu_align_rgbd_raw_im
 from __future__ import annotations
 
 import sys
-import time
 
 import numpy as np
 
-import jax.numpy as jnp
 
+from unified_cvo_tpu.apps._odometry_common import run_pipelined
 from unified_cvo_tpu.config import read_cvo_params_yaml
 from unified_cvo_tpu.datasets.tum import TumHandler, write_tum_pose_row
 from unified_cvo_tpu.frontend.pipeline import pointcloud_from_rgbd
-from unified_cvo_tpu.models.align import align
 
 CAPACITY = 16384
 
@@ -52,47 +50,37 @@ def run_sequence(
     accum = np.eye(4, dtype=np.float64)
     write_tum_pose_row(out, tum.timestamp(), accum)
 
-    init_guess = np.eye(4, dtype=np.float32)
-    total_time = 0.0
     n_frames = min(len(tum), start_frame + max_frames)
     poses = [accum.copy()]
     timestamps = [tum.timestamp()]
 
-    for i in range(start_frame, n_frames - 1):
+    def read_target(i):
         tum.next()
         pair = tum.read_next_rgbd()
         if pair is None:
-            break
-        target = pointcloud_from_rgbd(
+            return None
+        cloud = pointcloud_from_rgbd(
             pair[0], pair[1], calib, denoise=denoise, capacity=CAPACITY
         )
-        p = first_params if i == start_frame else params
-        t0 = time.time()
-        T, ret, info = align(
-            source,
-            target,
-            jnp.asarray(np.linalg.inv(init_guess).astype(np.float32)),
-            p,
-            chunk=chunk,
-            max_iter=max_iter,
-        )
-        result = np.asarray(T).astype(np.float64)
-        t_align = time.time() - t0
-        total_time += t_align
+        return cloud, tum.timestamp()
 
-        init_guess = result.astype(np.float32)
+    def on_result(i, result, ret, info, ts, t_frontend, t_block):
+        nonlocal accum
         accum = accum @ result
         poses.append(accum.copy())
-        timestamps.append(tum.timestamp())
-        write_tum_pose_row(out, tum.timestamp(), accum)
+        timestamps.append(ts)
+        write_tum_pose_row(out, ts, accum)
         log(
             f"frame {i}->{i+1}: iters={int(info.iterations)} "
-            f"ell={float(info.final_ell):.3f} align={t_align:.2f}s"
+            f"ell={float(info.final_ell):.3f} wait={t_block:.2f}s"
         )
-        source = target
 
+    n_aligned, total_block = run_pipelined(
+        source, range(start_frame, n_frames - 1), read_target, params,
+        first_params, on_result, chunk=chunk, max_iter=max_iter, log=log,
+    )
     out.close()
-    log(f"Average registration time is {total_time / max(len(poses) - 1, 1):.3f}")
+    log(f"Average registration time is {total_block / max(n_aligned, 1):.3f}")
     return np.asarray(poses), timestamps
 
 
