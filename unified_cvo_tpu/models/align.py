@@ -48,6 +48,8 @@ class AlignInfo(NamedTuple):
     history: Optional[dict] = None  # per-iteration logs when record_history
     nl_overflow: Optional[jax.Array] = None  # ELL backend: candidates dropped
     #   by the K / per-cell caps across builds (0 = the list was exact)
+    nl_rebuilds: Optional[jax.Array] = None  # ELL backend: neighbor-list
+    #   builds performed (>=1; each Verlet skin-drift trigger adds one)
 
 
 class _Carry(NamedTuple):
@@ -64,6 +66,7 @@ class _Carry(NamedTuple):
     ind: indicator_ops.IndicatorState
     history: Optional[dict]
     nl_overflow: jax.Array  # ELL: dropped candidates across builds
+    nl_rebuilds: jax.Array  # ELL: number of neighbor-list builds
     fresh: jax.Array        # ELL: just rebuilt -> inner loop must run once
     #   (structural progress guarantee: without it a drift test that fires
     #   immediately after a rebuild would livelock the nested loops)
@@ -349,6 +352,7 @@ def align(
             ind=ind_new,
             history=hist_new,
             nl_overflow=c.nl_overflow,
+            nl_rebuilds=c.nl_rebuilds,
             fresh=jnp.zeros((), bool),
         )
 
@@ -366,6 +370,7 @@ def align(
         ind=indicator_ops.init_state(params.indicator_window_size),
         history=hist,
         nl_overflow=jnp.zeros((), jnp.int32),
+        nl_rebuilds=jnp.zeros((), jnp.int32),
         fresh=jnp.zeros((), bool),
     )
 
@@ -389,6 +394,7 @@ def align(
                 k=nl_k, skin=nl_skin, per_cell_cap=nl_per_cell)
             c = c._replace(
                 nl_overflow=jnp.maximum(c.nl_overflow, nl.overflow),
+                nl_rebuilds=c.nl_rebuilds + 1,
                 fresh=jnp.ones((), bool),
             )
             body.nl = nl
@@ -410,6 +416,7 @@ def align(
         inner_product=final.a_sum,
         history=final.history,
         nl_overflow=final.nl_overflow if use_ell else None,
+        nl_rebuilds=final.nl_rebuilds if use_ell else None,
     )
     return transform, final.ret, info
 

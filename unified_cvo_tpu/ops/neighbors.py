@@ -153,11 +153,15 @@ def build_neighbor_list(
         n_cells,
     )
 
-    # dense per-cell tables [n_cells+1, P] built by one M-row scatter:
-    # slot 0..3 = raw target xyz + index (as f32: M < 2^24 exactly).
-    # TPU gathers cost per INDEX, not per element, so candidates are later
-    # pulled as whole [P,4] cell rows (27 row-gathers per source point)
-    # instead of per-candidate row gathers (~12x fewer indices).
+    # dense per-cell table [n_cells+1, 4P] built by one M-row scatter, with
+    # COMPONENT-BLOCKED columns (x-slots | y-slots | z-slots | index-slots;
+    # index as f32: M < 2^24 exactly). TPU gathers cost per INDEX, not per
+    # element, so candidates are later pulled as whole 4P-float cell rows
+    # (27 row-gathers per source point). The layout is deliberate: a
+    # [., P, 4] table poisons every consumer with a minor-dim-4 tiled
+    # layout (4 of 128 lanes used, measured 30-170x slower end-to-end);
+    # keeping the table 2D and slicing P-wide column blocks keeps all
+    # downstream math in lane-aligned [N, 27P] arrays.
     order = jnp.argsort(key).astype(jnp.int32)              # targets grouped by cell
     key_sorted = key[order]
     first = jnp.concatenate(
@@ -165,14 +169,16 @@ def build_neighbor_list(
     segment_start = jnp.where(first, jnp.arange(M, dtype=jnp.int32), 0)
     segment_start = lax.associative_scan(jnp.maximum, segment_start)
     rank = jnp.arange(M, dtype=jnp.int32) - segment_start   # rank within cell
-    tab = jnp.full((n_cells + 1, P, 4), -1.0, f32)
+    tab = jnp.full((n_cells + 1, 4 * P), -1.0, f32)
     slot_ok = rank < P
     scat_cell = jnp.where(slot_ok, key_sorted, n_cells)
     scat_rank = jnp.where(slot_ok, rank, P - 1)
-    vals = jnp.concatenate(
-        [target.xyz[order], order[:, None].astype(f32)], axis=1)
-    tab = tab.at[scat_cell, scat_rank].set(
-        jnp.where(slot_ok[:, None], vals, -1.0))
+    xyz_sorted = target.xyz[order]
+    comp_vals = [xyz_sorted[:, 0], xyz_sorted[:, 1], xyz_sorted[:, 2],
+                 order.astype(f32)]
+    for c, v in enumerate(comp_vals):                       # 4 scalar scatters
+        tab = tab.at[scat_cell, c * P + scat_rank].set(
+            jnp.where(slot_ok, v, -1.0))
     tab = tab.at[n_cells].set(-1.0)                         # sentinel bucket stays empty
     per_cell_dropped = jnp.sum((~slot_ok) & (key_sorted < n_cells))
 
@@ -189,11 +195,14 @@ def build_neighbor_list(
     cid = (cnb[..., 0] * gy + cnb[..., 1]) * gz + cnb[..., 2]
     cid = jnp.where(in_grid, cid, n_cells)                  # empty sentinel bucket
 
-    pool = tab[cid].reshape(N, 27 * P, 4)                   # [N,27P,4]
-    cand = pool[..., 3].astype(jnp.int32)                   # -1 = empty slot
-    yc_raw = pool[..., :3]
-    yc_t = [pool[..., 0] * R_inv[c, 0] + pool[..., 1] * R_inv[c, 1]
-            + pool[..., 2] * R_inv[c, 2] + T_inv[c] for c in range(3)]
+    pool = tab[cid.reshape(-1)].reshape(N, 27, 4 * P)       # [N,27,4P]
+    # component extraction = static column-block slices -> [N, 27P] arrays
+    # (lane-aligned; no minor-dim-4 anywhere)
+    comp = [pool[:, :, c * P:(c + 1) * P].reshape(N, 27 * P) for c in range(4)]
+    cand = comp[3].astype(jnp.int32)                        # -1 = empty slot
+    yc_raw_c = comp[:3]                                     # 3 x [N,27P]
+    yc_t = [yc_raw_c[0] * R_inv[c, 0] + yc_raw_c[1] * R_inv[c, 1]
+            + yc_raw_c[2] * R_inv[c, 2] + T_inv[c] for c in range(3)]
 
     # exact filter + K nearest (the reference kd-tree mode keeps K nearest
     # too, cukdtree.h:12; its ELL rows cap at num_neighbors). One
@@ -204,7 +213,7 @@ def build_neighbor_list(
     keep = (cand >= 0) & (d2 <= (r_i[:, None] ** 2)) & (x.mask[:, None] > 0)
     d2_key = jnp.where(keep, d2, jnp.inf)
     d2_s, cand_s, yx, yy, yz = lax.sort(
-        (d2_key, cand, yc_raw[..., 0], yc_raw[..., 1], yc_raw[..., 2]),
+        (d2_key, cand, yc_raw_c[0], yc_raw_c[1], yc_raw_c[2]),
         dimension=1, num_keys=1)
     valid = jnp.isfinite(d2_s[:, :k])
     idx = jnp.where(valid, cand_s[:, :k], -1)
@@ -216,10 +225,15 @@ def build_neighbor_list(
 
     def gather_field(a):
         """Per-candidate extra fields (intensity/semantics/geo-type runs):
-        one [N,K]-index row gather of the target array, component-major."""
+        one [N*K]-index row gather of the target array in its compact
+        [N*K, F] layout, then ONE transpose to component-major [F, N, K]
+        (gathering straight into [N, K, F] would poison the gather with a
+        minor-dim-F tiled layout; see the table-layout note above)."""
         if a is None:
             return None
-        return jnp.moveaxis(a[jnp.where(idx >= 0, idx, 0)], -1, 0)
+        flat = jnp.where(idx >= 0, idx, 0).reshape(-1)
+        g = a[flat]                                         # [N*K, F] compact
+        return g.T.reshape(a.shape[1], idx.shape[0], idx.shape[1])
 
     return NeighborList(
         idx=idx,
