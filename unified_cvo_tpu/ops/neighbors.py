@@ -208,18 +208,22 @@ def build_neighbor_list(
     # too, cukdtree.h:12; its ELL rows cap at num_neighbors). One
     # multi-operand sort carries the payload (index + raw xyz) with the
     # distance key, so the K-selection is a free static slice with no
-    # take_along_axis gathers afterwards. The optimization barrier
-    # MATERIALIZES the sort operands first: XLA otherwise fuses their
-    # producers (pool slices + distance math) into the sort's comparator
-    # loop, which re-evaluates them per comparison — measured 4.5 ms vs
-    # 0.14 ms for the identical sort on materialized operands.
+    # take_along_axis gathers afterwards.
+    #
+    # Measured anti-results (do not retry): this sort is ~4.5 ms of the
+    # ~10 ms build and scales ~0.9 ms/operand, yet every gather-based
+    # alternative was far slower IN THIS PROGRAM despite being fast in
+    # isolation — (a) 2-operand sort + global xyz re-gather by index:
+    # 42 ms (the gathers hit a slow path); (b) position-packed single-key
+    # sort + take_along_axis payload pulls: 71 ms; (c) the same with
+    # optimization_barrier'd operands: no change. The multi-operand sort
+    # is the only gather-free selection and wins end-to-end.
     d2 = sum((x.xyz[:, c, None] - yc_t[c]) ** 2 for c in range(3))
     keep = (cand >= 0) & (d2 <= (r_i[:, None] ** 2)) & (x.mask[:, None] > 0)
     d2_key = jnp.where(keep, d2, jnp.inf)
-    d2_key, cand, yc0, yc1, yc2 = lax.optimization_barrier(
-        (d2_key, cand, yc_raw_c[0], yc_raw_c[1], yc_raw_c[2]))
     d2_s, cand_s, yx, yy, yz = lax.sort(
-        (d2_key, cand, yc0, yc1, yc2), dimension=1, num_keys=1)
+        (d2_key, cand, yc_raw_c[0], yc_raw_c[1], yc_raw_c[2]),
+        dimension=1, num_keys=1)
     valid = jnp.isfinite(d2_s[:, :k])
     idx = jnp.where(valid, cand_s[:, :k], -1)
     y_xyz = jnp.where(
