@@ -51,7 +51,12 @@ from unified_cvo_tpu.utils.pointcloud import PointCloud
 DEFAULT_K = 96
 DEFAULT_SKIN = 0.5
 GRID_DIMS = (64, 32, 64)      # static voxel grid (131072 cells)
-PER_CELL_CAP = 12             # targets stored per cell before the exact filter
+PER_CELL_CAP = 8              # targets stored per cell before the exact filter
+#   (cell edge >= support+skin holds ~1 candidate on average; 8 absorbs
+#   ground-plane-dense cells with ~0.01% candidate drops at KITTI scale
+#   while keeping the sorted pool width 27P — the dominant build cost —
+#   lean. 12 was measured bitwise-identical on the bench trajectory and
+#   ~5% slower; 6 drops 10x more candidates for another ~5%.)
 
 
 class NeighborList(NamedTuple):
