@@ -342,6 +342,12 @@ def flow_stats_ell(params, ell, x: PointCloud, nl: NeighborList, R_inv, T_inv
         [yr[0] * R_inv[c, 0] + yr[1] * R_inv[c, 1]
          + yr[2] * R_inv[c, 2] + T_inv[c] for c in range(3)], axis=0)
     a = kernel_slots(params, ell, x, y_t_slots, nl)
+    # materialize the kernel matrix and transformed slots ONCE: ~10
+    # reductions downstream (row sums, flow moments, B..E step sums)
+    # consume them, and without the barrier XLA fuses the exp-heavy
+    # kernel chain into every reduction — measured 178 us/iter of
+    # reduce_sum, the whole loop's dominant cost
+    a, y_t_slots = lax.optimization_barrier((a, y_t_slots))
     s = jnp.sum(a, axis=1)
     wy = jnp.stack([jnp.sum(a * y_t_slots[c], axis=1) for c in range(3)],
                    axis=-1)
@@ -396,6 +402,11 @@ def step_coeffs_ell(params, ell, x: PointCloud, a, y_t_slots, twist):
     gamma = -coef * (normxiz2 + 2.0 * d2_)
     delta = 2.0 * coef * (xdx2 - d3)
     epsil = -coef * (epsc + 2.0 * d4)
+    # materialize the shared Taylor terms once: B..E are four separate
+    # global reductions over polynomials of these, and XLA otherwise
+    # re-fuses the whole xiz/diff chain into each reduction
+    beta, gamma, delta, epsil = lax.optimization_barrier(
+        (beta, gamma, delta, epsil))
     b2 = beta * beta
     B = jnp.sum(a * beta)
     C = jnp.sum(a * (gamma + 0.5 * b2))
