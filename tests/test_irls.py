@@ -173,7 +173,7 @@ def test_device_solver_matches_host_loop(rng):
     pivots = [True] + [False] * (F - 1)
 
     host_poses, hist = irls.irls_solve(stacked, init, edges, pivots, p,
-                                       chunk=256)
+                                       chunk=256, engine="host")
     solve = irls.make_irls_solver(p, chunk=256,
                                   cloud_capacity=int(stacked.xyz.shape[1]))
     dev_poses, info = solve(

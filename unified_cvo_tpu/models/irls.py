@@ -244,10 +244,16 @@ def _assemble_and_solve(poses, edge_i, edge_j, moments: EdgeMoments,
     return poses_new, total_cost, jnp.linalg.norm(delta)
 
 
+@functools.lru_cache(maxsize=32)
 def make_irls_kernels(params: CvoParams, chunk: int = 1024,
                       backend: str = "auto", nl_k: int = 128,
                       nl_per_cell: int = 32, cloud_capacity: int = 0):
     """Jitted (moments, gn_iterations) closures for a fixed params object.
+
+    Cached on the full argument tuple (params is a hashable frozen
+    dataclass): rebuilding the closures per irls_solve call would give
+    every solve fresh jit identities and force a full recompile — measured
+    ~10 s per solve vs ~35 ms of actual per-outer-iteration device work.
 
     backend: 'auto', 'ell', or 'dense'. Unlike the pairwise align loop —
     where ONE candidate-list build amortizes over ~100 gather-free
@@ -304,6 +310,7 @@ def make_irls_kernels(params: CvoParams, chunk: int = 1024,
     return moments_fn, gn_fn
 
 
+@functools.lru_cache(maxsize=32)
 def make_irls_solver(
     params: CvoParams,
     chunk: int = 1024,
@@ -403,18 +410,44 @@ def irls_solve(
     resume: bool = False,
     translation_only: bool = False,
     backend: str = "auto",
+    engine: str = "auto",
 ):
-    """Host-driven outer IRLS loop (the CvoBatchIRLS::solve twin).
+    """Outer IRLS loop (the CvoBatchIRLS::solve twin).
 
     clouds: stacked PointCloud pytree with leading frame axis [F, N, ...].
     init_poses: [F,3,4] float32 row-major (CvoFrame::pose_vec layout).
     Returns (poses [F,3,4], history list).
+
+    engine: 'device' runs the whole schedule inside one jitted while_loop
+    (make_irls_solver) with a single host sync per solve; 'host' drives the
+    loop from Python with per-iteration logging and checkpoint snapshots.
+    'auto' picks 'device' unless checkpoint_path asks for per-iteration
+    snapshots — each host sync costs ~25-70 ms on remote-TPU links, which
+    dominated the host loop's wall time (the log callback still receives a
+    one-line summary on the device engine).
 
     With `checkpoint_path`, outer-loop state (poses, ell, iteration,
     last_nonzeros) is snapshotted each iteration and `resume=True` restarts
     from it — the BA analogue of the reference's start-frame resumability
     (SURVEY.md §5 checkpoint/resume).
     """
+    if engine == "auto":
+        engine = "host" if checkpoint_path is not None else "device"
+    if engine == "device":
+        solve = make_irls_solver(
+            params, chunk, backend=backend,
+            cloud_capacity=int(clouds.xyz.shape[1]),
+            translation_only=translation_only)
+        edge_i = jnp.asarray([e[0] for e in edges], jnp.int32)
+        edge_j = jnp.asarray([e[1] for e in edges], jnp.int32)
+        pivot_mask = jnp.asarray(np.asarray(pivot_flags, np.float32))
+        poses, info = solve(clouds, jnp.asarray(init_poses, jnp.float32),
+                            edge_i, edge_j, pivot_mask)
+        hist = {k: (float(v) if jnp.issubdtype(jnp.asarray(v).dtype,
+                                               jnp.floating) else int(v))
+                for k, v in info.items()}
+        log(f"device solve: {hist}")
+        return np.asarray(poses), [hist]
     moments_fn, gn_fn = make_irls_kernels(
         params, chunk, backend=backend,
         cloud_capacity=int(clouds.xyz.shape[1]))

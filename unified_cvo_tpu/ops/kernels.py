@@ -155,7 +155,11 @@ def kernel_block(params, ell, x: PointCloud, yb: PointCloud):
         ok &= d2s < d2s_thres
         a = a * s_sigma2 * jnp.exp(-d2s / (2.0 * s_ell2))
 
-    return jnp.where(ok & (a > sp), a, 0.0)
+    # materialize the tile once: every caller feeds it to several
+    # reductions/matmuls, and without the barrier XLA re-fuses this whole
+    # exp-heavy chain into each consumer (measured ~10x on the dense IRLS
+    # edge pass; same effect as in neighbors.flow_stats_ell)
+    return lax.optimization_barrier(jnp.where(ok & (a > sp), a, 0.0))
 
 
 def kernel_block_dense(params, kernel_inv, x: PointCloud, yb: PointCloud):
@@ -215,7 +219,11 @@ def kernel_block_dense(params, kernel_inv, x: PointCloud, yb: PointCloud):
         ok &= d2s < -2.0 * s_ell2 * jnp.log(sp / s_sigma2)
         a = a * s_sigma2 * jnp.exp(-d2s / (2.0 * s_ell2))
 
-    return jnp.where(ok & (a > sp), a, 0.0)
+    # materialize the tile once: every caller feeds it to several
+    # reductions/matmuls, and without the barrier XLA re-fuses this whole
+    # exp-heavy chain into each consumer (measured ~10x on the dense IRLS
+    # edge pass; same effect as in neighbors.flow_stats_ell)
+    return lax.optimization_barrier(jnp.where(ok & (a > sp), a, 0.0))
 
 
 def association_topk_dense(params, kernel_inv, x: PointCloud, y_t: PointCloud,
