@@ -50,10 +50,21 @@ def make_raw_image(
     image: np.ndarray,
     semantics: Optional[np.ndarray] = None,
     denoise: bool = True,
+    denoise_engine: str = "opencv",
 ) -> RawImage:
+    """denoise_engine: 'opencv' = cv2.fastNlMeansDenoising(Colored), the
+    reference's exact call (RawImage.cpp:22-25, ~570 ms/frame at KITTI
+    size); 'tpu' = ops/nlm.py NL-means on the accelerator (~16 ms device
+    time, equal-or-better PSNR; the right default when the accelerator is
+    locally attached — over a remote-TPU tunnel the image round-trip
+    dominates)."""
     image = np.asarray(image)
     if denoise:
-        if image.ndim == 3:
+        if denoise_engine == "tpu":
+            from unified_cvo_tpu.ops.nlm import nlm_denoise_uint8
+
+            image = nlm_denoise_uint8(image)
+        elif image.ndim == 3:
             image = cv2.fastNlMeansDenoisingColored(image, None, 10, 10, 7, 21)
         else:
             image = cv2.fastNlMeansDenoising(image, None, 10, 7, 21)
