@@ -19,8 +19,22 @@ import jax
 # JAX_PLATFORMS; this config update wins over it.
 jax.config.update("jax_platforms", "cpu")
 
+import subprocess
+
 import numpy as np
 import pytest
+
+# Build the native runtime once so tests/test_native.py never silently
+# skips where a toolchain exists (the .so is gitignored, not checked in).
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if not os.path.exists(os.path.join(_repo, "native", "libcvo_native.so")):
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.join(_repo, "native")],
+            capture_output=True, timeout=120, check=False,
+        )
+    except Exception:
+        pass  # no toolchain: test_native.py skips as before
 
 
 @pytest.fixture
