@@ -32,6 +32,7 @@ def run_sequence(
     denoise: bool = True,
     chunk: int = 4096,
     max_iter: int | None = None,
+    device_frontend: bool = False,
     log=print,
 ):
     tum = TumHandler(seq_dir)
@@ -40,13 +41,25 @@ def run_sequence(
     first_params = params.first_frame()
     tum.set_start_index(start_frame)
 
+    if device_frontend:
+        # whole measurement chain on the accelerator (frontend/device.py):
+        # denoise + gradients + DSO grid selection + backprojection in one
+        # jit, no host round-trips
+        from unified_cvo_tpu.frontend.device import device_pointcloud_from_rgbd
+
+        def build_cloud(rgb, depth):
+            return device_pointcloud_from_rgbd(
+                rgb, depth, calib, capacity=CAPACITY, denoise=denoise)
+    else:
+        def build_cloud(rgb, depth):
+            return pointcloud_from_rgbd(
+                rgb, depth, calib, denoise=denoise, capacity=CAPACITY)
+
     out = open(out_path, "w")
     pair = tum.read_next_rgbd()
     if pair is None:
         raise RuntimeError("empty sequence")
-    source = pointcloud_from_rgbd(
-        pair[0], pair[1], calib, denoise=denoise, capacity=CAPACITY
-    )
+    source = build_cloud(pair[0], pair[1])
     accum = np.eye(4, dtype=np.float64)
     write_tum_pose_row(out, tum.timestamp(), accum)
 
@@ -59,9 +72,7 @@ def run_sequence(
         pair = tum.read_next_rgbd()
         if pair is None:
             return None
-        cloud = pointcloud_from_rgbd(
-            pair[0], pair[1], calib, denoise=denoise, capacity=CAPACITY
-        )
+        cloud = build_cloud(pair[0], pair[1])
         return cloud, tum.timestamp()
 
     def on_result(i, result, ret, info, ts, t_frontend, t_block):
@@ -89,10 +100,13 @@ def main(argv=None):
     if len(argv) < 3:
         print(__doc__)
         return 1
+    device_frontend = "--device-frontend" in argv
+    argv = [a for a in argv if a != "--device-frontend"]
     run_sequence(
         argv[0], argv[1], argv[2],
         int(argv[3]) if len(argv) > 3 else 0,
         int(argv[4]) if len(argv) > 4 else 100000,
+        device_frontend=device_frontend,
     )
     return 0
 
