@@ -58,10 +58,11 @@ def main():
                     help="assumed per-direction ICI GB/s for the analytic model")
     args = ap.parse_args()
 
-    os.environ.setdefault(
-        "XLA_FLAGS",
-        f"--xla_force_host_platform_device_count={args.devices}",
-    )
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + f" --xla_force_host_platform_device_count={args.devices}"
+        ).strip()
     import jax
 
     # virtual CPU mesh (the axon sitecustomize ignores JAX_PLATFORMS from

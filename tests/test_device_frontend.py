@@ -74,6 +74,21 @@ def test_rgbd_pipeline_matches_host_backprojection():
     np.testing.assert_allclose(host_feats, feats[mask], rtol=1e-4, atol=1e-3)
 
 
+def test_capacity_larger_than_grid():
+    """capacity > number of pot-grid cells must still yield consistent
+    fixed-capacity arrays (regression: argsort silently truncated)."""
+    bgr, depth = _scene(h=96, w=96, seed=1)
+    K = np.array([[100.0, 0, 48.0], [0, 100.0, 48.0], [0, 0, 1]], np.float32)
+    calib = Calibration(intrinsic=K, depth_scale=1000.0, cols=96, rows=96)
+    cap = 2048  # 96x96 at pot=3 has only 1024 cells
+    pc = dev.device_pointcloud_from_rgbd(bgr, depth, calib, pot=3,
+                                         capacity=cap, denoise=False)
+    assert pc.xyz.shape == (cap, 3)
+    assert pc.mask.shape == (cap,)
+    assert pc.geometric_types.shape == (cap, 2)
+    assert 0 < float(np.asarray(pc.mask).sum()) <= 1024
+
+
 def test_rgbd_pipeline_registers():
     """Two device-frontend clouds of the same scene under a small camera
     shift must register with models.align."""

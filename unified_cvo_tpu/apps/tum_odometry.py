@@ -97,11 +97,11 @@ def run_sequence(
 
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
+    device_frontend = "--device-frontend" in argv
+    argv = [a for a in argv if a != "--device-frontend"]
     if len(argv) < 3:
         print(__doc__)
         return 1
-    device_frontend = "--device-frontend" in argv
-    argv = [a for a in argv if a != "--device-frontend"]
     run_sequence(
         argv[0], argv[1], argv[2],
         int(argv[3]) if len(argv) > 3 else 0,

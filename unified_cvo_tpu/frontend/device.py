@@ -26,12 +26,10 @@ implementation in tests/test_device_frontend.py.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 from unified_cvo_tpu.frontend.calibration import Calibration
 from unified_cvo_tpu.utils.pointcloud import PointCloud
@@ -111,12 +109,19 @@ def dso_select_device(gs, ths_sm, pot: int, capacity: int,
              .reshape(Hc * Wc, pot * pot))
     best = jnp.argmax(cells, axis=1)
     score = jnp.max(cells, axis=1)                       # -1 = no hit
-    # strongest `capacity` cells (key packs the cell id into the payload
-    # via a 2-operand descending sort)
+    # strongest `capacity` cells via argsort + index gathers (this runs
+    # once per frame on [n_cells] vectors; the multi-operand-sort lesson
+    # from ops/neighbors.py applies to per-iteration [N, W] selections).
+    # Pad to `capacity` so the output shapes hold even when the pot grid
+    # has fewer cells than the budget.
+    n_cells = Hc * Wc
+    if n_cells < capacity:
+        score = jnp.pad(score, (0, capacity - n_cells), constant_values=-1.0)
+        best = jnp.pad(best, (0, capacity - n_cells))
     order = jnp.argsort(-score)[:capacity]
     sc = score[order]
     valid = sc > 0
-    cell = order
+    cell = jnp.minimum(order, n_cells - 1)
     oy = best[cell] // pot
     ox = best[cell] % pot
     cy = cell // Wc

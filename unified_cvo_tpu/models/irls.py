@@ -433,6 +433,11 @@ def irls_solve(
     """
     if engine == "auto":
         engine = "host" if checkpoint_path is not None else "device"
+    if engine == "device" and (checkpoint_path is not None or resume):
+        raise ValueError(
+            "engine='device' runs the whole schedule in one jitted loop and "
+            "cannot write per-iteration checkpoints; use engine='host' (or "
+            "engine='auto', which selects it) with checkpoint_path/resume")
     if engine == "device":
         solve = make_irls_solver(
             params, chunk, backend=backend,
