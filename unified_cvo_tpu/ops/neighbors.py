@@ -16,8 +16,9 @@ dynamics Verlet list), entirely static-shaped:
                  27-cell candidate pool as whole [P,4] cell rows (TPU
                  gathers cost per index, not per element), exact-filter by
                  || x - y_t || <= r_i + skin, keep the K nearest -> idx
-                 [N, K] plus gathered RAW target fields [N, K, ...] so
-                 iterations never gather.
+                 [N, K] plus the RAW target xyz and the pose-independent
+                 channel kernel factor per slot (nl.chan), so iterations
+                 never gather and never re-evaluate color/semantic kernels.
   consume (hot): per-slot kernel/flow/step math on dense [N, K] blocks,
                  vectorized reductions over the K axis. The kernel matrix A
                  is only [N, K] here, so the flow pass CACHES it and the
@@ -70,9 +71,13 @@ class NeighborList(NamedTuple):
     idx: jax.Array                    # [N, K] int32 target index, -1 pad
     valid: jax.Array                  # [N, K] bool
     y_xyz: jax.Array                  # [3, N, K] RAW (untransformed) target xyz
-    y_feat: Optional[jax.Array]       # [F, N, K] or None
-    y_label: Optional[jax.Array]      # [C, N, K] or None
-    y_geo: Optional[jax.Array]        # [2, N, K] or None
+    chan: Optional[jax.Array]         # [N, K] pose-INDEPENDENT kernel factor:
+    #   the product of the color/semantic/geometric-type kernels with their
+    #   gates folded in as exact zeros, or None when only the geometric
+    #   channel is on. Features/labels/geo-types never move with the pose,
+    #   so this is computed ONCE at build — the per-iteration kernel is just
+    #   geometric_factor * chan (a 19-class semantic config would otherwise
+    #   pay ~40 extra [N, K] ops every iteration).
     y_t_build: jax.Array              # [M, 3] transformed target at build time
     overflow: jax.Array               # [] int32: candidates dropped by the K cap
 
@@ -249,19 +254,66 @@ def build_neighbor_list(
         g = a[flat]                                         # [N*K, F] compact
         return g.T.reshape(a.shape[1], idx.shape[0], idx.shape[1])
 
+    chan = _channel_kernel(
+        params, x, valid,
+        gather_field(target.features if params.is_using_intensity else None),
+        gather_field(target.labels if params.is_using_semantics else None),
+        gather_field(
+            target.geometric_types if params.is_using_geometric_type else None),
+    )
     return NeighborList(
         idx=idx,
         valid=valid,
         y_xyz=y_xyz,
-        y_feat=gather_field(
-            target.features if params.is_using_intensity else None),
-        y_label=gather_field(
-            target.labels if params.is_using_semantics else None),
-        y_geo=gather_field(
-            target.geometric_types if params.is_using_geometric_type else None),
+        chan=chan,
         y_t_build=y_t,
         overflow=overflow,
     )
+
+
+def _channel_kernel(params, x: PointCloud, valid, y_feat, y_label, y_geo):
+    """Pose-independent kernel factor per slot (build-time only): the
+    color/semantic kernels and the geometric-type cosine^2 gate of
+    fill_in_A_mat_gpu (CvoGPU.cu:477-593) with their distance gates folded
+    in as exact zeros. Returns [N, K] or None when no such channel is on."""
+    f32 = jnp.float32
+    sp = f32(params.sp_thres)
+    a = None
+    ok = valid
+
+    def col(arr, c):
+        return arr[:, c, None]
+
+    if params.is_using_geometric_type:
+        xg = x.geometric_types
+        dot = col(xg, 0) * y_geo[0] + col(xg, 1) * y_geo[1]
+        n2 = (jnp.sum(xg * xg, -1)[:, None]) * (
+            y_geo[0] * y_geo[0] + y_geo[1] * y_geo[1])
+        geo = dot * dot / jnp.maximum(n2, 1e-12)
+        ok &= geo >= 0.01
+        a = geo
+
+    if params.is_using_intensity:
+        c_ell2 = f32(params.c_ell) ** 2
+        c_sigma2 = f32(params.c_sigma) ** 2
+        F = x.feature_dim
+        d2c = sum((col(x.features, f) - y_feat[f]) ** 2 for f in range(F))
+        ok &= d2c < -2.0 * c_ell2 * jnp.log(sp / c_sigma2)
+        ck = c_sigma2 * jnp.exp(-d2c / (2.0 * c_ell2))
+        a = ck if a is None else a * ck
+
+    if params.is_using_semantics:
+        s_ell2 = f32(params.s_ell) ** 2
+        s_sigma2 = f32(params.s_sigma) ** 2
+        C = x.num_classes
+        d2s = sum((col(x.labels, c) - y_label[c]) ** 2 for c in range(C))
+        ok &= d2s < -2.0 * s_ell2 * jnp.log(sp / s_sigma2)
+        sk = s_sigma2 * jnp.exp(-d2s / (2.0 * s_ell2))
+        a = sk if a is None else a * sk
+
+    if a is None:
+        return None
+    return jnp.where(ok, a, 0.0)
 
 
 def drift_exceeded(nl: NeighborList, target: PointCloud, R_inv, T_inv,
@@ -282,53 +334,30 @@ def kernel_slots(params, ell, x: PointCloud, y_t_slots, nl: NeighborList):
     """[N, K] kernel values — slot-wise transcription of kernel_block
     (fill_in_A_mat_gpu, CvoGPU.cu:477-593) with identical gates; padded
     slots are exactly 0. y_t_slots is component-major [3, N, K]; every
-    intermediate here is a lane-aligned [N, K] array."""
+    intermediate here is a lane-aligned [N, K] array.
+
+    Only the geometric factor is evaluated here — the color/semantic/
+    geometric-type factors are pose-independent and precomputed once per
+    neighbor-list build (nl.chan), with their gates folded in as zeros."""
     f32 = jnp.float32
     sp = f32(params.sp_thres)
     a = None
     ok = nl.valid & (x.mask[:, None] > 0)
-
-    def col(arr, c):  # source column broadcast against [N,K]
-        return arr[:, c, None]
-
-    if params.is_using_geometric_type:
-        xg, yg = x.geometric_types, nl.y_geo
-        dot = col(xg, 0) * yg[0] + col(xg, 1) * yg[1]
-        n2 = (jnp.sum(xg * xg, -1)[:, None]) * (yg[0] * yg[0] + yg[1] * yg[1])
-        geo = dot * dot / jnp.maximum(n2, 1e-12)
-        ok &= geo >= 0.01
-        a = geo
+    if nl.chan is not None:
+        ok &= nl.chan > 0
+        a = nl.chan
 
     if params.is_using_geometry:
         sigma2 = f32(params.sigma) ** 2
-        d2 = sum((col(x.xyz, c) - y_t_slots[c]) ** 2 for c in range(3))
+        d2 = sum((x.xyz[:, c, None] - y_t_slots[c]) ** 2 for c in range(3))
         l_i = jnp_kernels.range_ell(ell, jnp.linalg.norm(x.xyz, axis=-1))[:, None]
         two_l2 = 2.0 * l_i * l_i
         ok &= d2 < -two_l2 * jnp.log(sp / sigma2)
         kgeo = sigma2 * jnp.exp(-d2 / two_l2)
         a = kgeo if a is None else a * kgeo
 
-    if params.is_using_intensity:
-        c_ell2 = f32(params.c_ell) ** 2
-        c_sigma2 = f32(params.c_sigma) ** 2
-        F = x.feature_dim
-        d2c = sum((col(x.features, f) - nl.y_feat[f]) ** 2 for f in range(F))
-        ok &= d2c < -2.0 * c_ell2 * jnp.log(sp / c_sigma2)
-        ck = c_sigma2 * jnp.exp(-d2c / (2.0 * c_ell2))
-        a = ck if a is None else a * ck
-
-    if params.is_using_semantics:
-        s_ell2 = f32(params.s_ell) ** 2
-        s_sigma2 = f32(params.s_sigma) ** 2
-        C = x.num_classes
-        d2s = sum((col(x.labels, c) - nl.y_label[c]) ** 2 for c in range(C))
-        ok &= d2s < -2.0 * s_ell2 * jnp.log(sp / s_sigma2)
-        sk = s_sigma2 * jnp.exp(-d2s / (2.0 * s_ell2))
-        a = sk if a is None else a * sk
-
     if a is None:
-        a = jnp.ones(nl.valid.shape, f32)
-        return jnp.where(ok, a, 0.0)
+        return jnp.where(ok, jnp.ones(nl.valid.shape, f32), 0.0)
     return jnp.where(ok & (a > sp), a, 0.0)
 
 
