@@ -76,7 +76,9 @@ def main():
     from unified_cvo_tpu.utils.pointcloud import make_pointcloud
 
     n = int(os.environ.get("BENCH_N", 16384))
-    n_frames = int(os.environ.get("BENCH_FRAMES", 12))
+    # 50 frames ~ steady-state odometry (amortizes per-align dispatch the
+    # way a real sequence does; 12-frame runs read ~20% low)
+    n_frames = int(os.environ.get("BENCH_FRAMES", 50))
     log(f"devices: {jax.devices()}")
     params = read_cvo_params_yaml(
         "/root/reference/cvo_params/cvo_geometric_params_img_gpu0.yaml"
