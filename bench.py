@@ -77,7 +77,7 @@ def main():
 
     n = int(os.environ.get("BENCH_N", 16384))
     # 50 frames ~ steady-state odometry (amortizes per-align dispatch the
-    # way a real sequence does; 12-frame runs read ~20% low)
+    # way a real long sequence does)
     n_frames = int(os.environ.get("BENCH_FRAMES", 50))
     log(f"devices: {jax.devices()}")
     params = read_cvo_params_yaml(
@@ -106,6 +106,11 @@ def main():
         R_k, t_k = np.asarray(R_k), np.asarray(t_k)
         # pair convention: frame_{k+1} points = R_k . frame_k points + t_k
         xyz_k = xyz_k @ R_k.T + t_k
+        # keep the workload stationary: points that recede past the ~55 m
+        # envelope wrap back to near range, like new points entering view
+        # on a real forward-moving sequence (the wrapped ~2%/frame have no
+        # correspondence in the previous frame — realistic partial overlap)
+        xyz_k[:, 2] = 2.0 + np.mod(xyz_k[:, 2] - 2.0, 53.0)
         T_true_seq.append(np.asarray(lie.rt_to_mat44(jnp.asarray(R_k),
                                                      jnp.asarray(t_k))))
     frames = [jax.device_put(f) for f in frames]

@@ -4,8 +4,11 @@ Synthetic KITTI-scale scene observed from a short trajectory with noisy
 initial poses; reports warm solve time, outer iterations, and per-frame
 pose error vs ground truth. See PERF.md for the measured history.
 """
-import sys, time
-sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp, numpy as np
 from bench import synthetic_kitti_scene
 from unified_cvo_tpu.config import read_cvo_params_yaml
@@ -16,7 +19,7 @@ from unified_cvo_tpu.utils.pointcloud import make_pointcloud
 n = 8192
 F = 5
 params = read_cvo_params_yaml("/root/reference/cvo_params/cvo_intensity_params_irls_tum.yaml")
-print("params ell_init", params.ell_init, "multiframe iters", params.multiframe_max_iters if hasattr(params,'multiframe_max_iters') else '?')
+print("params ell_init", params.ell_init, "multiframe max iters", params.multiframe_max_iters)
 rng = np.random.default_rng(0)
 scene = synthetic_kitti_scene(n)
 # frames along a short trajectory, each observed in its own frame
@@ -61,5 +64,6 @@ for k in range(F):
     Tm = np.eye(4, dtype=np.float32); Tm[:3] = np.asarray(poses[k])
     E = np.linalg.inv(Tm) @ poses_true[k]
     errs.append(float(np.linalg.norm(np.asarray(lie.se3_log(jnp.asarray(E[:3,:3]), jnp.asarray(E[:3,3]))))))
-print(f"IRLS solve F={F} edges={len(edges)} n={n}: compile+run {t_first:.2f}s, warm {t_warm*1e3:.1f} ms, outer_iters={len(hist)}")
+it = hist[0]["it"] if hist and isinstance(hist[0], dict) and "it" in hist[0] else len(hist)
+print(f"IRLS solve F={F} edges={len(edges)} n={n}: compile+run {t_first:.2f}s, warm {t_warm*1e3:.1f} ms, outer_iters={it}")
 print("pose err per frame:", [round(e,4) for e in errs])
