@@ -24,17 +24,26 @@ import subprocess
 import numpy as np
 import pytest
 
-# Build the native runtime once so tests/test_native.py never silently
-# skips where a toolchain exists (the .so is gitignored, not checked in).
 _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-if not os.path.exists(os.path.join(_repo, "native", "libcvo_native.so")):
-    try:
-        subprocess.run(
-            ["make", "-C", os.path.join(_repo, "native")],
-            capture_output=True, timeout=120, check=False,
-        )
-    except Exception:
-        pass  # no toolchain: test_native.py skips as before
+
+
+@pytest.fixture(scope="session")
+def native_built():
+    """Build the native runtime on demand (only tests that need the .so
+    request this), so an unrelated single-test run never pays the native
+    build as a collection side effect. Skips when no toolchain exists."""
+    from unified_cvo_tpu import native
+
+    if not native.available():
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.join(_repo, "native")],
+                capture_output=True, timeout=180, check=False,
+            )
+        except Exception:
+            pass
+    if not native.available():
+        pytest.skip("libcvo_native.so not built (no toolchain)")
 
 
 @pytest.fixture

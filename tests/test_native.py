@@ -5,9 +5,9 @@ import pytest
 
 from unified_cvo_tpu import native
 
-pytestmark = pytest.mark.skipif(
-    not native.available(), reason="libcvo_native.so not built (make -C native)"
-)
+# The session-scoped `native_built` fixture (conftest.py) builds the .so on
+# demand and skips these tests when no toolchain exists.
+pytestmark = pytest.mark.usefixtures("native_built")
 
 
 def _textured(h, w, seed=3):

@@ -42,8 +42,12 @@ def device_gray_and_gradients(image):
     frontend/image.py)."""
     img = jnp.asarray(image, jnp.float32)
     if img.ndim == 3:
-        gray = (0.114 * img[..., 0] + 0.587 * img[..., 1]
-                + 0.299 * img[..., 2])
+        # Round to match cv2.cvtColor's uint8 gray (the host twin,
+        # frontend/image.py): without it, gradients/thresholds differ by up
+        # to ~1 intensity level and whole-cell-winner selection can flip on
+        # borderline pixels vs a host run.
+        gray = jnp.round(0.114 * img[..., 0] + 0.587 * img[..., 1]
+                         + 0.299 * img[..., 2])
     else:
         gray = img
     dx = jnp.zeros_like(gray)

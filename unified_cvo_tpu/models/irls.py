@@ -421,10 +421,18 @@ def irls_solve(
     engine: 'device' runs the whole schedule inside one jitted while_loop
     (make_irls_solver) with a single host sync per solve; 'host' drives the
     loop from Python with per-iteration logging and checkpoint snapshots.
-    'auto' picks 'device' unless checkpoint_path asks for per-iteration
-    snapshots — each host sync costs ~25-70 ms on remote-TPU links, which
-    dominated the host loop's wall time (the log callback still receives a
-    one-line summary on the device engine).
+    'auto' picks 'device' unless checkpoint_path or resume asks for
+    per-iteration snapshots — each host sync costs ~25-70 ms on remote-TPU
+    links, which dominated the host loop's wall time (the log callback
+    still receives a one-line summary on the device engine).
+
+    History schema: the host engine returns one dict per solved outer
+    iteration with keys {iter, ell, nonzeros, cost, delta}; the device
+    engine returns ONE summary dict with the same key names where they
+    exist ({iter, ell, nonzeros, cost}, plus 'overflow' — total ELL
+    candidate drops over the solve; 'delta' is not observable from outside
+    the fused loop). Overflow > 0 is surfaced as a WARNING through `log`
+    on both engines.
 
     With `checkpoint_path`, outer-loop state (poses, ell, iteration,
     last_nonzeros) is snapshotted each iteration and `resume=True` restarts
@@ -432,7 +440,7 @@ def irls_solve(
     (SURVEY.md §5 checkpoint/resume).
     """
     if engine == "auto":
-        engine = "host" if checkpoint_path is not None else "device"
+        engine = "host" if (checkpoint_path is not None or resume) else "device"
     if engine == "device" and (checkpoint_path is not None or resume):
         raise ValueError(
             "engine='device' runs the whole schedule in one jitted loop and "
@@ -451,6 +459,11 @@ def irls_solve(
         hist = {k: (float(v) if jnp.issubdtype(jnp.asarray(v).dtype,
                                                jnp.floating) else int(v))
                 for k, v in info.items()}
+        hist["iter"] = hist.pop("it")        # host-engine key compatibility
+        if hist.get("overflow", 0) > 0:
+            log(f"WARNING: ELL neighbor caps dropped {hist['overflow']} "
+                f"candidate pairs over the solve — raise nl_k / nl_per_cell "
+                f"or use backend='dense'")
         log(f"device solve: {hist}")
         return np.asarray(poses), [hist]
     moments_fn, gn_fn = make_irls_kernels(
