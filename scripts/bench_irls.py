@@ -64,6 +64,8 @@ for k in range(F):
     Tm = np.eye(4, dtype=np.float32); Tm[:3] = np.asarray(poses[k])
     E = np.linalg.inv(Tm) @ poses_true[k]
     errs.append(float(np.linalg.norm(np.asarray(lie.se3_log(jnp.asarray(E[:3,:3]), jnp.asarray(E[:3,3]))))))
-it = hist[0]["it"] if hist and isinstance(hist[0], dict) and "it" in hist[0] else len(hist)
+it = (hist[0].get("iter", hist[0].get("it"))
+      if hist and isinstance(hist[0], dict) and ("iter" in hist[0] or "it" in hist[0])
+      else len(hist))
 print(f"IRLS solve F={F} edges={len(edges)} n={n}: compile+run {t_first:.2f}s, warm {t_warm*1e3:.1f} ms, outer_iters={it}")
 print("pose err per frame:", [round(e,4) for e in errs])

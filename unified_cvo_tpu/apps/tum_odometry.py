@@ -34,6 +34,7 @@ def run_sequence(
     max_iter: int | None = None,
     device_frontend: bool = False,
     log=print,
+    capacity: int = CAPACITY,
 ):
     tum = TumHandler(seq_dir)
     calib = tum.calibration()
@@ -49,11 +50,11 @@ def run_sequence(
 
         def build_cloud(rgb, depth):
             return device_pointcloud_from_rgbd(
-                rgb, depth, calib, capacity=CAPACITY, denoise=denoise)
+                rgb, depth, calib, capacity=capacity, denoise=denoise)
     else:
         def build_cloud(rgb, depth):
             return pointcloud_from_rgbd(
-                rgb, depth, calib, denoise=denoise, capacity=CAPACITY)
+                rgb, depth, calib, denoise=denoise, capacity=capacity)
 
     out = open(out_path, "w")
     pair = tum.read_next_rgbd()

@@ -58,6 +58,28 @@ class TumHandler:
         return read_calibration(os.path.join(self.folder, "cvo_calib.txt"), "rgbd")
 
 
+def read_tum_trajectory(path: str):
+    """(timestamps list, poses [N,4,4]) from a TUM-format trajectory file
+    (timestamp tx ty tz qx qy qz qw) — the format evaluate_ate_scale.py
+    consumes in the reference's BA scripts."""
+    from scipy.spatial.transform import Rotation
+
+    stamps, poses = [], []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 8 or parts[0].startswith("#"):
+                continue
+            stamps.append(parts[0])
+            t = np.asarray([float(v) for v in parts[1:4]])
+            q = [float(v) for v in parts[4:8]]  # x y z w
+            T = np.eye(4)
+            T[:3, :3] = Rotation.from_quat(q).as_matrix()
+            T[:3, 3] = t
+            poses.append(T)
+    return stamps, np.asarray(poses)
+
+
 def write_tum_pose_row(f, timestamp: str, T: np.ndarray):
     """timestamp tx ty tz qx qy qz qw (TUM trajectory format)."""
     from scipy.spatial.transform import Rotation

@@ -42,12 +42,13 @@ def device_gray_and_gradients(image):
     frontend/image.py)."""
     img = jnp.asarray(image, jnp.float32)
     if img.ndim == 3:
-        # Round to match cv2.cvtColor's uint8 gray (the host twin,
-        # frontend/image.py): without it, gradients/thresholds differ by up
-        # to ~1 intensity level and whole-cell-winner selection can flip on
-        # borderline pixels vs a host run.
-        gray = jnp.round(0.114 * img[..., 0] + 0.587 * img[..., 1]
-                         + 0.299 * img[..., 2])
+        # Emulate cv2.cvtColor's fixed-point BGR2GRAY exactly:
+        # (1868*B + 9617*G + 4899*R + 8192) >> 14 with integer-valued
+        # uint8 inputs. All intermediates stay < 2^24, so f32 arithmetic
+        # is exact and the device gray bitwise-matches the host twin
+        # (frontend/image.py) on uint8 frames.
+        gray = jnp.floor((1868.0 * img[..., 0] + 9617.0 * img[..., 1]
+                          + 4899.0 * img[..., 2] + 8192.0) * (1.0 / 16384.0))
     else:
         gray = img
     dx = jnp.zeros_like(gray)

@@ -439,6 +439,10 @@ def irls_solve(
     from it — the BA analogue of the reference's start-frame resumability
     (SURVEY.md §5 checkpoint/resume).
     """
+    if resume and checkpoint_path is None:
+        raise ValueError(
+            "resume=True requires checkpoint_path — there is no snapshot to "
+            "resume from otherwise")
     if engine == "auto":
         engine = "host" if (checkpoint_path is not None or resume) else "device"
     if engine == "device" and (checkpoint_path is not None or resume):

@@ -36,15 +36,19 @@ def _rotation_error(E):
     return np.arccos(np.clip(d, -1.0, 1.0))
 
 
-def kitti_seq_error(poses_gt: np.ndarray, poses_est: np.ndarray, step: int = 10):
+def kitti_seq_error(poses_gt: np.ndarray, poses_est: np.ndarray, step: int = 10,
+                    lengths=KITTI_LENGTHS):
     """Average (translation_error_fraction, rotation_error_rad_per_m) over
-    all (first_frame % step == 0, segment length) pairs — the devkit metric."""
+    all (first_frame % step == 0, segment length) pairs — the devkit metric.
+
+    `lengths` defaults to the devkit's {100..800} m; pass shorter segment
+    lengths to apply the same metric to short (e.g. synthetic) sequences."""
     n = min(len(poses_gt), len(poses_est))
     poses_gt, poses_est = poses_gt[:n], poses_est[:n]
     dist = trajectory_distances(poses_gt)
     t_errs, r_errs = [], []
     for first in range(0, n, step):
-        for length in KITTI_LENGTHS:
+        for length in lengths:
             last = _last_frame_from_segment(dist, first, length)
             if last < 0:
                 continue

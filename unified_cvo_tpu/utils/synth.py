@@ -1,0 +1,218 @@
+"""Synthetic textured-scene renderer for end-to-end accuracy evaluation.
+
+The reference validates accuracy only offline, on real KITTI/TUM data that
+is not bundled (SURVEY.md §6; devkit/cpp/evaluate_odometry.cpp). This module
+closes that loop hermetically: it ray-casts a textured corridor scene into
+geometrically-consistent stereo pairs and RGB-D frames along a known
+trajectory, written in the exact KITTI / TUM on-disk layouts the dataset
+handlers read — so the odometry and BA drivers run UNMODIFIED and their
+output trajectories can be scored against ground truth with
+utils/metrics (kitti_seq_error / ate_rmse), the devkit twins.
+
+Geometry conventions match the front-end (frontend/stereo.py):
+camera frame x right / y down / z forward; right stereo camera at
++baseline along camera x; disparity = fx * baseline / depth;
+TUM depth pngs are uint16 depth * depth_scale.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from unified_cvo_tpu.frontend.calibration import Calibration
+
+
+@dataclasses.dataclass
+class Plane:
+    """Axis-aligned textured plane: {x[axis] == offset}, visible from the
+    `side` sign of the axis, textured over the two `tangent` axes."""
+
+    axis: int
+    offset: float
+    tangent: Tuple[int, int]
+    texture: np.ndarray            # [th, tw, 3] float32 in [0, 255]
+    tex_scale: float               # metres per texel
+    bounds: Tuple[Tuple[float, float], Tuple[float, float]]  # per tangent axis
+
+
+def _texture(th: int, tw: int, rng: np.random.Generator) -> np.ndarray:
+    """Multi-scale smooth noise texture: coarse colour blocks for appearance
+    variety + fine structure for FAST corners and stereo matching. Values
+    float32 in [0,255]; bilinear-sampled, so image gradients stay smooth at
+    sub-texel camera motion (what subpixel stereo needs)."""
+    import cv2
+
+    img = np.zeros((th, tw, 3), np.float32)
+    for cell, amp in ((64, 55.0), (16, 40.0), (4, 30.0)):
+        noise = rng.uniform(-1.0, 1.0, (th // cell, tw // cell, 3)).astype(np.float32)
+        img += amp * cv2.resize(noise, (tw, th), interpolation=cv2.INTER_LINEAR)
+    return np.clip(img + 128.0, 0.0, 255.0)
+
+
+def _sample_bilinear(tex: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Wrap-around bilinear texture fetch. x,y in texel units, any shape."""
+    th, tw = tex.shape[:2]
+    x = np.mod(x, tw)
+    y = np.mod(y, th)
+    x0 = np.floor(x).astype(np.int64)
+    y0 = np.floor(y).astype(np.int64)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x1 = (x0 + 1) % tw
+    y1 = (y0 + 1) % th
+    c00 = tex[y0, x0]
+    c01 = tex[y0, x1]
+    c10 = tex[y1, x0]
+    c11 = tex[y1, x1]
+    return (c00 * (1 - fx) * (1 - fy) + c01 * fx * (1 - fy)
+            + c10 * (1 - fx) * fy + c11 * fx * fy)
+
+
+def corridor_scene(seed: int = 0, length: float = 60.0,
+                   half_width: float = 4.0, floor_y: float = 1.6,
+                   ceil_y: float = -2.2, tex_scale: float = 0.04) -> List[Plane]:
+    """A closed textured corridor along +z: floor, ceiling, two side walls,
+    and a far end wall. Every forward ray hits exactly one surface."""
+    rng = np.random.default_rng(seed)
+    z_lo, z_hi = -10.0, length
+    t = lambda: _texture(512, 512, rng)
+    return [
+        Plane(1, floor_y, (0, 2), t(), tex_scale, ((-half_width, half_width), (z_lo, z_hi))),
+        Plane(1, ceil_y, (0, 2), t(), tex_scale, ((-half_width, half_width), (z_lo, z_hi))),
+        Plane(0, -half_width, (1, 2), t(), tex_scale, ((ceil_y, floor_y), (z_lo, z_hi))),
+        Plane(0, half_width, (1, 2), t(), tex_scale, ((ceil_y, floor_y), (z_lo, z_hi))),
+        Plane(2, length, (0, 1), t(), tex_scale, ((-half_width, half_width), (ceil_y, floor_y))),
+    ]
+
+
+def corridor_trajectory(n_frames: int, step: float = 0.3,
+                        yaw_rate: float = 0.01, bob: float = 0.01) -> np.ndarray:
+    """[N,4,4] camera-to-world poses: forward motion with a slow yaw turn
+    and a small vertical bob (so rotation and y-translation are exercised,
+    not just z)."""
+    poses = np.tile(np.eye(4, dtype=np.float64), (n_frames, 1, 1))
+    pos = np.zeros(3)
+    for i in range(n_frames):
+        theta = yaw_rate * i
+        c, s = np.cos(theta), np.sin(theta)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        poses[i, :3, :3] = R
+        poses[i, :3, 3] = pos + np.array([0.0, bob * np.sin(0.7 * i), 0.0])
+        pos = pos + step * np.array([s, 0.0, c])
+    return poses
+
+
+def render_frame(scene: Sequence[Plane], calib: Calibration,
+                 T_wc: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Ray-cast one frame. Returns (bgr uint8 [H,W,3], depth float32 [H,W]
+    = camera-frame z; 0 where no surface is hit)."""
+    H, W = calib.rows, calib.cols
+    Kinv = np.linalg.inv(calib.intrinsic).astype(np.float64)
+    u, v = np.meshgrid(np.arange(W, dtype=np.float64),
+                       np.arange(H, dtype=np.float64))
+    # camera-frame directions with z == 1, so the ray parameter IS depth
+    d_cam = np.stack([u, v, np.ones_like(u)], axis=-1) @ Kinv.T
+    R_wc = T_wc[:3, :3]
+    o = T_wc[:3, 3]
+    d_world = d_cam @ R_wc.T
+
+    best_t = np.full((H, W), np.inf)
+    color = np.zeros((H, W, 3), np.float32)
+    for pl in scene:
+        denom = d_world[..., pl.axis]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (pl.offset - o[pl.axis]) / denom
+            t = np.where(np.abs(denom) > 1e-12, t, np.inf)
+            t = np.where(t > 0.2, t, np.inf)
+            hit_a = o[pl.tangent[0]] + t * d_world[..., pl.tangent[0]]
+            hit_b = o[pl.tangent[1]] + t * d_world[..., pl.tangent[1]]
+        (a_lo, a_hi), (b_lo, b_hi) = pl.bounds
+        ok = ((t < best_t) & (hit_a >= a_lo) & (hit_a <= a_hi)
+              & (hit_b >= b_lo) & (hit_b <= b_hi))
+        if not ok.any():
+            continue
+        texel = _sample_bilinear(
+            pl.texture, hit_a[ok] / pl.tex_scale, hit_b[ok] / pl.tex_scale)
+        color[ok] = texel
+        best_t = np.where(ok, t, best_t)
+    depth = np.where(np.isfinite(best_t), best_t, 0.0).astype(np.float32)
+    return np.clip(color, 0, 255).astype(np.uint8), depth
+
+
+def render_stereo(scene: Sequence[Plane], calib: Calibration,
+                  T_wc: np.ndarray):
+    """(left_bgr, right_bgr, left_depth). Right camera at +baseline along
+    camera x (KITTI convention; frontend/stereo.py backproject_disparity)."""
+    left, depth = render_frame(scene, calib, T_wc)
+    T_right = T_wc.copy()
+    T_right[:3, 3] = T_wc[:3, 3] + T_wc[:3, 0] * abs(calib.baseline)
+    right, _ = render_frame(scene, calib, T_right)
+    return left, right, depth
+
+
+def gt_disparity(depth: np.ndarray, calib: Calibration) -> np.ndarray:
+    """Ground-truth left disparity from rendered depth (0 where invalid)."""
+    with np.errstate(divide="ignore"):
+        d = abs(calib.baseline) * calib.fx / depth
+    return np.where(depth > 0, d, 0.0).astype(np.float32)
+
+
+def kitti_calibration(W: int = 512, H: int = 320, fx: float = 256.0,
+                      baseline: float = 0.54) -> Calibration:
+    K = np.array([[fx, 0, W / 2], [0, fx, H / 2], [0, 0, 1]], np.float32)
+    return Calibration(K, baseline=baseline, depth_scale=1.0, cols=W, rows=H)
+
+
+def tum_calibration(W: int = 320, H: int = 240, fx: float = 250.0,
+                    depth_scale: float = 5000.0) -> Calibration:
+    K = np.array([[fx, 0, W / 2], [0, fx, H / 2], [0, 0, 1]], np.float32)
+    return Calibration(K, baseline=0.0, depth_scale=depth_scale, cols=W, rows=H)
+
+
+def write_kitti_sequence(out_dir: str, scene: Sequence[Plane],
+                         trajectory: np.ndarray, calib: Calibration,
+                         depths_out: Optional[list] = None) -> np.ndarray:
+    """Render + write <out_dir>/{image_2,image_3}/%06d.png + cvo_calib.txt
+    (the KittiHandler layout, datasets/kitti.py). Returns the ground-truth
+    camera-to-world poses [N,4,4]."""
+    import cv2
+
+    os.makedirs(os.path.join(out_dir, "image_2"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "image_3"), exist_ok=True)
+    with open(os.path.join(out_dir, "cvo_calib.txt"), "w") as f:
+        f.write(f"{calib.fx} {calib.fy} {calib.cx} {calib.cy} "
+                f"{abs(calib.baseline)} {calib.cols} {calib.rows}\n")
+    for i, T in enumerate(trajectory):
+        left, right, depth = render_stereo(scene, calib, T)
+        cv2.imwrite(os.path.join(out_dir, "image_2", f"{i:06d}.png"), left)
+        cv2.imwrite(os.path.join(out_dir, "image_3", f"{i:06d}.png"), right)
+        if depths_out is not None:
+            depths_out.append(depth)
+    return trajectory.copy()
+
+
+def write_tum_sequence(out_dir: str, scene: Sequence[Plane],
+                       trajectory: np.ndarray, calib: Calibration) -> np.ndarray:
+    """Render + write <out_dir>/{rgb,depth}/*.png, assoc.txt, cvo_calib.txt
+    (the TumHandler layout, datasets/tum.py). Returns ground truth poses."""
+    import cv2
+
+    os.makedirs(os.path.join(out_dir, "rgb"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "depth"), exist_ok=True)
+    with open(os.path.join(out_dir, "cvo_calib.txt"), "w") as f:
+        f.write(f"{calib.fx} {calib.fy} {calib.cx} {calib.cy} "
+                f"{calib.depth_scale} {calib.cols} {calib.rows}\n")
+    assoc = open(os.path.join(out_dir, "assoc.txt"), "w")
+    for i, T in enumerate(trajectory):
+        bgr, depth = render_frame(scene, calib, T)
+        ts = f"{1000.0 + 0.1 * i:.4f}"
+        cv2.imwrite(os.path.join(out_dir, "rgb", f"{ts}.png"), bgr)
+        d16 = np.clip(depth * calib.depth_scale, 0, 65535).astype(np.uint16)
+        cv2.imwrite(os.path.join(out_dir, "depth", f"{ts}.png"), d16)
+        assoc.write(f"{ts} rgb/{ts}.png {ts} depth/{ts}.png\n")
+    assoc.close()
+    return trajectory.copy()
