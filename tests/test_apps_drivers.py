@@ -267,3 +267,72 @@ def test_gicp_baseline_recovers_rigid_motion():
     T, iters, rmse = gicp_align(xyz, tgt, max_iter=40, k=12, max_corr=1.0)
     np.testing.assert_allclose(T[:3, :3], R, atol=5e-3)
     np.testing.assert_allclose(T[:3, 3], t, atol=2e-2)
+
+
+# ---------------------------------------------------------- semantic lidar
+
+
+@pytest.fixture(scope="module")
+def semantic_kitti_lidar_dir(tmp_path_factory):
+    """3 synthetic velodyne scans + SemanticKITTI .label files: a ground
+    plane (raw id 40 -> road), a wall (raw id 50 -> building), some
+    unlabeled (raw 0) and moving-car (raw 252 -> collapses onto car)
+    points; sensor advances +x per frame."""
+    d = tmp_path_factory.mktemp("semkitti")
+    (d / "velodyne").mkdir()
+    (d / "labels").mkdir()
+    rng = np.random.default_rng(3)
+    n = 2048
+    ground = np.stack(
+        [rng.uniform(2, 40, n // 2), rng.uniform(-15, 15, n // 2),
+         np.full(n // 2, -1.7)], axis=1)
+    wall = np.stack(
+        [rng.uniform(2, 40, n // 2), np.full(n // 2, 8.0),
+         rng.uniform(-1.5, 3.0, n // 2)], axis=1)
+    pts = np.concatenate([ground, wall]).astype(np.float32)
+    raw_ids = np.concatenate(
+        [np.full(n // 2, 40, np.uint32), np.full(n // 2, 50, np.uint32)])
+    raw_ids[:40] = 0          # unlabeled -> must be dropped
+    raw_ids[40:60] = 252      # moving car -> collapses to class 1 (car)
+    labels32 = raw_ids | (np.uint32(7) << 16)  # instance bits must be masked
+    inten = rng.uniform(0, 1, (n, 1)).astype(np.float32)
+    for i in range(3):
+        moved = pts.copy()
+        moved[:, 0] -= 0.4 * i
+        np.concatenate([moved, inten], axis=1).astype(np.float32).tofile(
+            str(d / "velodyne" / f"{i:06d}.bin"))
+        labels32.tofile(str(d / "labels" / f"{i:06d}.label"))
+    return str(d)
+
+
+def test_kitti_semantic_label_loading(semantic_kitti_lidar_dir):
+    from unified_cvo_tpu.datasets.kitti import KittiHandler
+
+    kitti = KittiHandler(semantic_kitti_lidar_dir, "lidar")
+    pts, labels = kitti.read_next_lidar_semantic()
+    assert pts.shape[1] == 4 and labels.shape == (pts.shape[0],)
+    # raw 40 -> train 9 -> 0-based 8; raw 50 -> 13 -> 12; raw 0 -> -1;
+    # raw 252 (moving car) -> 1 -> 0 (create_label_map semantics)
+    assert (labels[:40] == -1).all()
+    assert (labels[40:60] == 0).all()
+    assert (labels[60:1024] == 8).all()
+    assert (labels[1024:] == 12).all()
+
+
+def test_kitti_lidar_odometry_semantic(semantic_kitti_lidar_dir, tmp_path):
+    yaml = tmp_path / "sem_lidar.yaml"
+    yaml.write_text(
+        "ell_init: 0.5\nell_init_first_frame: 0.5\nell_min: 0.05\n"
+        "ell_max: 1.0\nmax_iter: 60\nis_using_intensity: 1\n"
+        "is_using_semantics: 1\ns_ell: 0.5\ns_sigma: 0.8\n"
+    )
+    out = str(tmp_path / "sem_lidar_traj.txt")
+    from unified_cvo_tpu.apps.kitti_lidar_odometry import run_sequence
+
+    poses = run_sequence(semantic_kitti_lidar_dir, str(yaml), out,
+                         semantic=True, capacity=2048, chunk=1024,
+                         max_iter=60, log=lambda *a: None)
+    assert poses.shape[0] == 3
+    rows = np.loadtxt(out)
+    assert rows.shape == (3, 12)
+    assert np.isfinite(rows).all()

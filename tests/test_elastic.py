@@ -90,3 +90,55 @@ def test_ba_survives_device_loss(rng):
     err2 = _pose_err(poses, true_poses)
     assert err2 < err1, (err2, err1)
     assert err2 < 0.02, err2
+
+
+def test_full_sharded_solver_survives_device_loss(rng):
+    """Elasticity through the COMPLETE sharded IRLS schedule: a solve
+    interrupted mid-schedule (multiframe_max_iters cap standing in for a
+    failure) resumes on half the devices from its (poses, ell) state via
+    the solver's ell0 restart hook, and reaches the optimum."""
+    from unified_cvo_tpu.parallel.sharded_irls import (
+        make_sharded_irls_solver, pad_frames)
+
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("needs 8 virtual devices")
+    stacked, true_poses, edges = _setup(rng)
+    F = len(true_poses)
+    pivot = jnp.asarray(np.array([1.0] + [0.0] * (F - 1), np.float32))
+    base = CvoParams(ell_init=0.6, multiframe_ell_init=0.6,
+                     multiframe_ell_min=0.1, multiframe_ell_decay_rate=0.8,
+                     multiframe_iterations_per_ell=2,
+                     multiframe_iterations_per_solve=3,
+                     multiframe_min_nonzeros=10)
+    poses = jnp.asarray(np.tile(np.eye(3, 4, dtype=np.float32), (F, 1, 1)))
+    err0 = _pose_err(poses, true_poses)
+
+    def run(device_subset, params, poses, ell0=None):
+        mesh = Mesh(np.asarray(device_subset), ("dp",))
+        solver = make_sharded_irls_solver(params, mesh, chunk=256,
+                                          frame_sharded=True)
+        ei, ej, valid = pad_edges(
+            np.asarray([e[0] for e in edges], np.int32),
+            np.asarray([e[1] for e in edges], np.int32),
+            len(device_subset),
+        )
+        return solver(
+            pad_frames(stacked, len(device_subset)), poses,
+            jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(valid), pivot,
+            **({} if ell0 is None else {"ell0": jnp.float32(ell0)}))
+
+    # phase 1: 8 devices, schedule interrupted after 4 outer iterations
+    poses, info1 = run(devices[:8], base.replace(multiframe_max_iters=4), poses)
+    err1 = _pose_err(np.asarray(poses), true_poses)
+    assert int(info1["it"]) >= 4  # capped schedule stopped early
+    assert err1 < err0, (err1, err0)
+
+    # phase 2: continue on 4 devices from (poses, ell) where it stopped
+    poses = jax.device_put(np.asarray(poses))
+    poses, info2 = run(devices[:4], base.replace(multiframe_max_iters=40),
+                       poses, ell0=float(info1["ell"]))
+    err2 = _pose_err(np.asarray(poses), true_poses)
+    assert float(info2["ell"]) < float(info1["ell"])
+    assert err2 < err1, (err2, err1)
+    assert err2 < 0.02, err2

@@ -184,3 +184,40 @@ def test_device_solver_matches_host_loop(rng):
     assert int(info["it"]) >= len(hist)  # schedule length modulo final round
     np.testing.assert_allclose(np.asarray(dev_poses), host_poses,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_cg_solver_matches_dense(rng):
+    """The matrix-free block-sparse PCG GN (VERDICT task 10, the
+    SPARSE_SCHUR-scale path) must reproduce the dense Cholesky solve on a
+    chain+skip covis graph, and scale to 100+ frames without materializing
+    the 6F x 6F Hessian."""
+    p = _params()
+    base = _bunnyish(rng)
+    F = 120
+    clouds, true_poses, init = [], [], []
+    for f in range(F):
+        xi = (0.015 * rng.normal(size=6)).astype(np.float32)
+        if f == 0:
+            xi *= 0.0
+        R, t = (np.asarray(v) for v in lie.se3_exp(jnp.asarray(xi), 1.0))
+        true_poses.append(np.concatenate([R, t[:, None]], 1))
+        clouds.append(make_pointcloud(((base - t) @ R).astype(np.float32),
+                                      bucket=256))
+        init.append(np.eye(3, 4, dtype=np.float32))
+    stacked = irls.stack_clouds(clouds)
+    init = np.stack(init)
+    edges = [(i, i + 1) for i in range(F - 1)] + \
+            [(i, i + 3) for i in range(F - 3)]
+    pivots = [True] + [False] * (F - 1)
+    short = p.replace(multiframe_max_iters=6,
+                      multiframe_iterations_per_ell=2,
+                      multiframe_iterations_per_solve=3)
+    poses_d, _ = irls.irls_solve(stacked, init, edges, pivots, short,
+                                 chunk=256, engine="device", solver="dense")
+    poses_c, _ = irls.irls_solve(stacked, init, edges, pivots, short,
+                                 chunk=256, engine="device", solver="cg")
+    np.testing.assert_allclose(poses_c, poses_d, atol=2e-4)
+    # and the CG solve actually moved toward the truth
+    err0 = max(np.abs(init[f] - true_poses[f]).max() for f in range(F))
+    err1 = max(np.abs(poses_c[f] - true_poses[f]).max() for f in range(F))
+    assert err1 < 0.7 * err0, (err0, err1)  # 6-outer-iter schedule: partial

@@ -100,7 +100,8 @@ def test_align_ell_matches_jnp_trajectory(rng, skin, label):
     ig = lie.rt_to_mat44(*lie.se3_exp(jnp.asarray(xi * 0.2), 1.0))
     T1, r1, i1 = align(src, tgt, ig, params, backend="jnp", max_iter=400)
     T2, r2, i2 = align(src, tgt, ig, params, backend="ell", max_iter=400,
-                       nl_k=160, nl_per_cell=20, nl_skin=skin)
+                       nl_k=160, nl_per_cell=20, nl_skin=skin,
+                       nl_builder="grid")
     assert int(i2.nl_overflow) == 0
     # identical math modulo f32 summation order; trajectories track closely
     assert float(jnp.max(jnp.abs(T1 - T2))) < 2e-3, label
@@ -124,6 +125,76 @@ def test_auto_backend_gates():
 
     assert static_support_radius(_params(ell_init=0.15)) < 2.0
     assert static_support_radius(_params(ell_init=5.0)) > 2.0
+
+
+# -------------------------------------------------- brute-force scan builder
+
+
+def test_scan_builder_matches_grid_builder(rng):
+    """On a config where both builders are sound, the ELL passes driven by
+    either candidate list agree with each other (and the dense oracle)."""
+    params = _params()
+    xyz = _scene(rng, n=4096)
+    xyz2 = _scene(rng, n=4096) + np.float32([0.1, 0.0, 0.2])
+    src = make_pointcloud(xyz, bucket=512)
+    tgt = make_pointcloud(xyz2, bucket=512)
+    R = jnp.eye(3)
+    T = jnp.zeros(3)
+    ell = jnp.float32(params.ell_init)
+    nl_g = nbr.build_neighbor_list(params, ell, src, tgt, R, T,
+                                   k=192, skin=0.3, per_cell_cap=24)
+    nl_s = nbr.build_neighbor_list_scan(params, ell, src, tgt, R, T,
+                                        k=192, skin=0.3, chunk=1024)
+    assert int(nl_g.overflow) == 0 and int(nl_s.overflow) == 0
+    fg, _, _ = nbr.flow_stats_ell(params, ell, src, nl_g, R, T)
+    fs, _, _ = nbr.flow_stats_ell(params, ell, src, nl_s, R, T)
+    assert int(fg.nonzeros) == int(fs.nonzeros)
+    np.testing.assert_allclose(fs.a_sum, fg.a_sum, rtol=1e-5)
+    np.testing.assert_allclose(fs.row_sum, fg.row_sum, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(fs.row_wy, fg.row_wy, rtol=1e-4, atol=1e-5)
+
+
+def test_align_scan_large_support_small_cloud(rng):
+    """The scan builder covers the regimes the grid builder cannot: a
+    support radius far beyond 2 m on a sub-4096 cloud. Trajectory must
+    match the dense jnp backend."""
+    params = _params(ell_init=3.0, ell_min=0.5, max_step=0.1)
+    assert nbr.static_support_radius(params) > 2.0
+    xyz = _scene(rng, n=768)
+    xi = np.array([0.001, 0.004, -0.002, 0.02, 0.01, 0.1], np.float32)
+    R_m, t_m = lie.se3_exp(jnp.asarray(xi), 1.0)
+    xyz2 = np.asarray(xyz @ np.asarray(R_m).T + np.asarray(t_m))
+    src = make_pointcloud(xyz, bucket=256)
+    tgt = make_pointcloud(xyz2, bucket=256)
+    ig = jnp.eye(4)
+    T1, r1, i1 = align(src, tgt, ig, params, backend="jnp", max_iter=250)
+    T2, r2, i2 = align(src, tgt, ig, params, backend="ell", max_iter=250,
+                       nl_k=640, nl_builder="scan")
+    assert int(i2.nl_overflow) == 0
+    assert float(jnp.max(jnp.abs(T1 - T2))) < 2e-3
+
+
+def test_align_scan_no_geometry_channel(rng):
+    """With the geometric channel off, the kernel is pose-independent: the
+    value-ranked scan list is exact, built once, never rebuilt — and the
+    align trajectory matches the dense backend."""
+    params = _params(is_using_geometry=0, is_using_intensity=1,
+                     c_ell=0.3, c_sigma=1.0, sp_thres=0.01,
+                     max_step=0.02)
+    xyz = _scene(rng, n=512, spread=4.0)
+    feats = rng.uniform(0, 1, (512, 3)).astype(np.float32)
+    xi = np.array([0.0, 0.002, -0.001, 0.02, 0.01, 0.05], np.float32)
+    R_m, t_m = lie.se3_exp(jnp.asarray(xi), 1.0)
+    xyz2 = np.asarray(xyz @ np.asarray(R_m).T + np.asarray(t_m))
+    src = make_pointcloud(xyz, features=feats, bucket=512)
+    tgt = make_pointcloud(xyz2, features=feats, bucket=512)
+    ig = jnp.eye(4)
+    T1, r1, i1 = align(src, tgt, ig, params, backend="jnp", max_iter=60)
+    T2, r2, i2 = align(src, tgt, ig, params, backend="ell", max_iter=60,
+                       nl_k=512)
+    assert int(i2.nl_rebuilds) == 1  # pose-independent kernel: one build
+    assert int(i2.nl_overflow) == 0
+    assert float(jnp.max(jnp.abs(T1 - T2))) < 2e-3
 
 
 def test_irls_edge_moments_ell_matches_dense(rng):

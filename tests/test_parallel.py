@@ -80,3 +80,52 @@ def test_batch_align_sharded_over_mesh(params):
     T0, _, info0 = align(pairs[3][0], pairs[3][1], jnp.eye(4), params,
                          chunk=128, max_iter=15)
     np.testing.assert_allclose(np.asarray(Tb[3]), np.asarray(T0), atol=2e-3)
+
+
+def test_full_align_sharded_sp_matches_single_device(params):
+    """VERDICT task 4: the COMPLETE while-loop aligner (indicator, ell
+    schedule, convergence) under sp target-sharding must match the
+    single-device align trajectory."""
+    from unified_cvo_tpu.parallel.sharded import make_sharded_full_align
+
+    devices = jax.devices()[:8]
+    mesh = Mesh(np.asarray(devices), ("sp",))
+    src, tgt = _pair(0, n=512)
+    ig = jnp.eye(4, dtype=jnp.float32)
+    T_ref, ret_ref, info_ref = align(src, tgt, ig, params, backend="jnp",
+                                     max_iter=120, chunk=512)
+    full = make_sharded_full_align(params, mesh, chunk=64, max_iter=120)
+    T_sh, ret_sh, info_sh = full(src, tgt, ig)
+    # same schedule decisions (psum'd nonzeros drive the indicator), same
+    # trajectory modulo f32 psum ordering
+    assert int(info_sh["iterations"]) == int(info_ref.iterations)
+    np.testing.assert_allclose(float(info_sh["final_ell"]),
+                               float(info_ref.final_ell), rtol=1e-6)
+    # per-shard chunking + psum reorder f32 sums; over ~120 iterations the
+    # trajectories track to mm scale, not bitwise
+    np.testing.assert_allclose(np.asarray(T_sh), np.asarray(T_ref), atol=5e-3)
+
+
+def test_full_align_ring_matches_single_device(params):
+    """Both-clouds-sharded ring full align to convergence == single-device
+    align."""
+    from unified_cvo_tpu.parallel.ring import make_ring_full_align
+
+    devices = jax.devices()[:8]
+    mesh = Mesh(np.asarray(devices), ("sp",))
+    src, tgt = _pair(0, n=512)
+    ig = jnp.eye(4, dtype=jnp.float32)
+    T_ref, ret_ref, info_ref = align(src, tgt, ig, params, backend="jnp",
+                                     max_iter=120, chunk=512)
+    full = make_ring_full_align(params, mesh, chunk=64, max_iter=120)
+    T_sh, ret_sh, info_sh = full(src, tgt, ig)
+    assert int(info_sh["iterations"]) == int(info_ref.iterations)
+    np.testing.assert_allclose(float(info_sh["final_ell"]),
+                               float(info_ref.final_ell), rtol=1e-6)
+    # rotating per-shard partial sums reorder every f32 reduction; over 120
+    # not-yet-converged iterations the trajectories track to ~cm scale (the
+    # schedule identity above is the structural assertion)
+    np.testing.assert_allclose(np.asarray(T_sh)[:3, :3],
+                               np.asarray(T_ref)[:3, :3], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(T_sh)[:3, 3],
+                               np.asarray(T_ref)[:3, 3], atol=2e-2)

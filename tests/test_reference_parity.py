@@ -57,3 +57,51 @@ def test_demo_trajectory_matches_reference_simulation():
     T_j = np.asarray(T_j)
     assert np.abs(T_j[:3, :3] - T_ref[:3, :3]).max() < 5e-3
     assert np.abs(T_j[:3, 3] - T_ref[:3, 3]).max() < 5e-2
+
+
+def test_dense_scene_neighbor_cap_convergence_parity(rng):
+    """SURVEY §7 hard-part 4 / VERDICT task 9: convergence behavior where
+    the reference's num_neighbors row cap and its 1.2x shrink
+    (CvoGPU.cu:576-589, 1519-1529) actually BIND. The scene is much denser
+    than the kernel support (rows want ~380 entries at a 32 cap; the shrink
+    drives the cap to single digits near convergence), the regime the
+    uncapped streaming design intentionally differs in. Result: the
+    scan-order cap is an unbiased row subsample, so the capped reference
+    and the uncapped TPU path follow the same ell schedule and converge to
+    the same pose (|dT| < 1e-5) — the cap is a memory-format artifact with
+    no convergence effect, which is why dropping it is sound."""
+    from reference_sim import kernel_rows_capped
+    from unified_cvo_tpu.config import CvoParams
+    from unified_cvo_tpu.ops import lie
+
+    n = 512
+    x = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    xi = np.array([0.002, 0.005, -0.001, 0.02, 0.01, 0.04], np.float32)
+    R_m, t_m = (np.asarray(v) for v in lie.se3_exp(jnp.asarray(xi), 1.0))
+    y = (x @ R_m.T + t_m).astype(np.float32)
+    p = CvoParams(ell_init=0.5, ell_min=0.05, ell_decay_rate=0.9,
+                  ell_decay_start=5, indicator_window_size=5,
+                  indicator_stable_threshold=0.2, max_step=0.1,
+                  sp_thres=0.0006, nearest_neighbors_max=32)
+
+    # the cap must actually bind on this scene
+    A_unc = kernel_rows_capped(p, p.ell_init, x, y, None, None, 10**9)
+    assert int((A_unc > 0).sum(1).max()) > 5 * p.nearest_neighbors_max
+
+    T_sim, ret_sim, hist = align_ref_sim(p, x, y, max_iter=200)
+    assert min(hist["num_neighbors"]) < p.nearest_neighbors_max  # shrink fired
+
+    src = make_pointcloud(x, bucket=n)
+    tgt = make_pointcloud(y, bucket=n)
+    T_our, ret, info = align(src, tgt, jnp.eye(4), p, backend="jnp",
+                             max_iter=200)
+    np.testing.assert_allclose(float(info.final_ell), hist["ell"][-1],
+                               rtol=1e-5)
+    assert np.abs(np.asarray(T_our) - T_sim).max() < 1e-5
+    # and both recover the true motion
+    T_true = np.eye(4)
+    T_true[:3, :3] = R_m
+    T_true[:3, 3] = t_m
+    inv = np.linalg.inv(T_true)
+    assert np.abs(T_sim - inv).max() < 1e-4
+    assert np.abs(np.asarray(T_our) - inv).max() < 1e-4

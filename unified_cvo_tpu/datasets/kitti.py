@@ -16,6 +16,26 @@ import numpy as np
 from unified_cvo_tpu.frontend.calibration import Calibration, read_calibration
 
 
+def _build_label_map() -> np.ndarray:
+    """SemanticKITTI raw id -> 1..19 training id (+0 = unlabeled), the
+    exact table of KittiHandler::create_label_map (KittiHandler.cpp:195+);
+    moving ids (252..259) collapse onto their static classes."""
+    pairs = {
+        0: 0, 1: 0, 10: 1, 11: 2, 13: 5, 15: 3, 16: 5, 18: 4, 20: 5,
+        30: 6, 31: 7, 32: 8, 40: 9, 44: 10, 48: 11, 49: 12, 50: 13,
+        51: 14, 52: 0, 60: 9, 70: 15, 71: 16, 72: 17, 80: 18, 81: 19,
+        99: 0, 252: 1, 253: 7, 254: 6, 255: 8, 256: 5, 257: 5, 258: 4,
+        259: 5,
+    }
+    table = np.zeros(260, np.int32)
+    for k, v in pairs.items():
+        table[k] = v
+    return table
+
+
+KITTI_LABEL_MAP = _build_label_map()
+
+
 class KittiHandler:
     def __init__(self, folder: str, data_type: str = "stereo"):
         self.folder = folder
@@ -95,6 +115,28 @@ class KittiHandler:
         xyz = pts[:, :3]
         rotated = np.stack([-xyz[:, 1], -xyz[:, 2], xyz[:, 0]], axis=1)
         return np.concatenate([rotated, pts[:, 3:4]], axis=1)
+
+    def read_next_lidar_semantic(self, num_classes: int = 19):
+        """(points [N,4], labels [N] int in [-1, num_classes-1]).
+
+        SemanticKITTI layout: <seq>/labels/<name>.label, one uint32 per
+        velodyne point — lower 16 bits semantic id, upper 16 instance id
+        (KittiHandler.cpp read_next_lidar semantic overload, :154-193).
+        Raw ids collapse through create_label_map minus 1, so 0 marks
+        unlabeled/outlier points as -1 (dropped downstream by
+        pointcloud_from_lidar's semantics >= 0 gate)."""
+        pts = self.read_next_lidar()
+        if pts is None:
+            return None
+        name = self.names[self.curr_index]
+        raw = np.fromfile(
+            os.path.join(self.folder, "labels", name + ".label"), np.uint32
+        )
+        sem = (raw & 0xFFFF).astype(np.int64)
+        in_table = sem < KITTI_LABEL_MAP.shape[0]
+        labels = np.where(
+            in_table, KITTI_LABEL_MAP[np.where(in_table, sem, 0)], 0) - 1
+        return pts, labels.astype(np.int32)
 
     def next(self):
         self.curr_index += 1

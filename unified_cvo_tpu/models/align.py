@@ -96,7 +96,8 @@ def _stats_fns(backend: str, chunk: int, tile_i=None, tile_j=None):
     static_argnames=(
         "params", "record_history", "chunk", "max_iter", "backend",
         "adaptive_ell", "spatial_culling", "tile_i", "tile_j",
-        "nl_k", "nl_skin", "nl_per_cell",
+        "nl_k", "nl_skin", "nl_per_cell", "nl_builder",
+        "psum_axis", "ring_axis",
     ),
 )
 def align(
@@ -115,6 +116,9 @@ def align(
     nl_k: Optional[int] = None,
     nl_skin: Optional[float] = None,
     nl_per_cell: Optional[int] = None,
+    nl_builder: Optional[str] = None,
+    psum_axis: Optional[str] = None,
+    ring_axis: Optional[str] = None,
 ):
     """Register target onto source. Returns (transform[4,4], ret, AlignInfo).
 
@@ -122,15 +126,19 @@ def align(
     init_guess_transform argument (callers typically pass the inverse of the
     source->target prior; see main_cvo_gpu_align_two_color_pcd.cpp:71-82).
 
-    backend: 'auto' picks 'ell' when the kernel support is local (the
-    common odometry regime: geometric channel on, ell_init small relative
-    to the scene) — a Verlet candidate list rebuilt on drift, ~10x faster
-    than the tiled scan at KITTI sparsity; otherwise fused Pallas tiles on
-    accelerators / blocked-XLA 'jnp' on CPU. Explicit values: 'ell', 'jnp',
-    'pallas', 'pallas_interpret' (Pallas interpreter, CPU validation).
-    nl_k / nl_skin / nl_per_cell tune the 'ell' candidate list (K nearest
-    kept per source point — the reference kd-tree mode's K, cukdtree.h:12;
-    skin = Verlet rebuild margin in meters).
+    backend: 'auto' picks 'ell' — a Verlet candidate list rebuilt on
+    drift, ~10x faster than the tiled scan at KITTI sparsity — for every
+    non-adaptive-ell config; the dense backends ('pallas' fused Mosaic
+    tiles on accelerators, blocked-XLA 'jnp' on CPU, 'pallas_interpret'
+    for CPU validation) remain for ACVO and as parity oracles.
+    nl_builder: 'grid' (voxel-bucketed Verlet build, needs local geometric
+    support) / 'scan' (brute-force chunked top-K build, any support
+    radius or cloud size; with the geometric channel off the list is
+    ranked by the pose-independent channel kernel value and never
+    rebuilt) / None = auto. nl_k / nl_skin / nl_per_cell tune the
+    candidate list (K nearest kept per source point — the reference
+    kd-tree mode's K, cukdtree.h:12; skin = Verlet rebuild margin in
+    meters).
 
     adaptive_ell: ACVO mode (reference AdaptiveCvoGPU.cu, ENABLE_ACVO
     variant) — instead of the indicator-window decay schedule, ell follows
@@ -140,21 +148,49 @@ def align(
       ell <- clip(ell - dl_step * dl, ell_min, ell_max)
     (gradient assembly at AdaptiveCvoGPU.cu:612-712, 869-885; update at
     :1198). Defaults to params.is_ell_adaptive.
+
+    psum_axis / ring_axis: run the FULL while-loop aligner inside a
+    shard_map over a device mesh (SURVEY.md §5 long-context plan; the
+    sharded composition of the reference's whole align_impl loop,
+    CvoGPU.cu:1340-1572). With psum_axis, `target` is this device's point
+    shard (source replicated): flow/step reductions are psum'd over the
+    axis every iteration. With ring_axis, BOTH clouds are point shards and
+    target blocks rotate via ppermute (parallel/ring.py) so N x M never
+    materializes on one device. Schedule state (ell, indicator, breaks) is
+    driven by psum'd totals — every device takes identical branches. Use
+    parallel.sharded.make_sharded_full_align / parallel.ring.
+    make_ring_full_align for the wrapped entry points.
     """
     if adaptive_ell is None:
         adaptive_ell = bool(params.is_ell_adaptive)
+    shard_axis = psum_axis or ring_axis
+    if shard_axis is not None:
+        if psum_axis is not None and ring_axis is not None:
+            raise ValueError("psum_axis and ring_axis are mutually exclusive")
+        if adaptive_ell:
+            raise ValueError(
+                "adaptive_ell is not supported under sharded align yet")
+        if backend not in ("auto", "jnp"):
+            raise ValueError(
+                "sharded align runs the blocked-jnp kernels per shard; "
+                f"backend={backend!r} is not supported with "
+                "psum_axis/ring_axis")
+        backend = "jnp"
+    has_rank_channel = bool(
+        params.is_using_geometry or params.is_using_intensity
+        or params.is_using_semantics or params.is_using_geometric_type
+    )
     if backend == "auto":
-        from unified_cvo_tpu.ops import neighbors as nbr
-
-        # the ELL candidate list needs a bounded geometric support, a
-        # monotone (decaying) ell schedule (the ACVO variant can grow ell),
-        # and enough points that (a) the dense scan is actually expensive
-        # and (b) the support is local relative to the cloud — small dense
-        # clouds overflow the per-cell caps and silently drop pairs
+        # the ELL candidate list needs a ranking channel (geometric distance
+        # or a channel kernel value) and a non-growing support (the ACVO
+        # variant can grow ell without triggering a rebuild). Small clouds
+        # stay on the dense backends: their N x M scans are cheap, while the
+        # nl_k row cap would truncate dense-support kernels (the cap only
+        # pays for itself at scale — the builder choice below then covers
+        # every support radius)
         if (
-            bool(params.is_using_geometry)
+            has_rank_channel
             and not adaptive_ell
-            and nbr.static_support_radius(params) <= 2.0
             and source.capacity >= 4096
             and target.capacity >= 4096
         ):
@@ -169,24 +205,44 @@ def align(
     T0 = jnp.asarray(init_guess[:3, 3], f32)
     nx = source.num_valid
     ny = target.num_valid
+    if ring_axis is not None:
+        nx = lax.psum(nx, ring_axis)
+    if shard_axis is not None:
+        ny = lax.psum(ny, shard_axis)
     sqrt_nxny = jnp.sqrt(jnp.maximum(nx * ny, 1.0))
 
     use_ell = backend == "ell"
     if use_ell:
         from unified_cvo_tpu.ops import neighbors as nbr
 
-        # soundness preconditions of the candidate list (what the auto gate
-        # checks): a growing ell (ACVO) widens the support without moving
-        # targets, so the drift-based rebuild never fires on a stale list;
-        # without the geometric channel nothing bounds the support radius
+        # soundness preconditions of the candidate list: a growing ell
+        # (ACVO) widens the support without moving targets, so the
+        # drift-based rebuild never fires on a stale list; some channel
+        # must rank candidates (distance, or the channel kernel value)
         if adaptive_ell:
             raise ValueError(
                 "backend='ell' is unsound with adaptive_ell (ell can grow "
                 "without triggering a rebuild); use 'pallas' or 'jnp'")
-        if not params.is_using_geometry:
+        if not has_rank_channel:
             raise ValueError(
-                "backend='ell' needs the geometric channel to bound the "
-                "kernel support; use 'pallas' or 'jnp'")
+                "backend='ell' needs at least one kernel channel to rank "
+                "candidates; use 'pallas' or 'jnp'")
+        if nl_builder is None or nl_builder == "auto":
+            # the voxel-grid builder needs a local support (cell size >=
+            # support+skin with bounded per-cell occupancy) and enough
+            # points that the grid pays for itself; the brute-force scan
+            # builder covers everything else (large support, small/dense
+            # clouds, channel-ranked no-geometry configs)
+            nl_builder = "grid" if (
+                bool(params.is_using_geometry)
+                and nbr.static_support_radius(params) <= 2.0
+                and source.capacity >= 4096
+                and target.capacity >= 4096
+            ) else "scan"
+        if nl_builder == "grid" and not params.is_using_geometry:
+            raise ValueError(
+                "nl_builder='grid' needs the geometric channel to bound the "
+                "voxel cell size; use nl_builder='scan'")
         nl_k = nbr.DEFAULT_K if nl_k is None else nl_k
         nl_skin = nbr.DEFAULT_SKIN if nl_skin is None else nl_skin
         nl_per_cell = nbr.PER_CELL_CAP if nl_per_cell is None else nl_per_cell
@@ -233,10 +289,24 @@ def align(
                                          tile_j=tile_j, compaction=comp,
                                          interpret=interp)
     else:
-        _flow, _step = _stats_fns(backend, chunk, tile_i, tile_j)
         prep_fn = lambda p, ell, x, y_t: None
-        flow_fn = lambda p, ell, x, y_t, comp: _flow(p, ell, x, y_t)
-        step_fn = lambda p, ell, x, y_t, tw, comp: _step(p, ell, x, y_t, tw)
+        if ring_axis is not None:
+            from unified_cvo_tpu.parallel import ring as ring_mod
+
+            flow_fn = lambda p, ell, x, y_t, comp: ring_mod.ring_flow_stats(
+                p, ell, x, y_t, ring_axis, chunk)
+            step_fn = lambda p, ell, x, y_t, tw, comp: (
+                ring_mod.ring_step_coeffs(p, ell, x, y_t, tw, ring_axis, chunk))
+        elif psum_axis is not None:
+            _flow, _step = _stats_fns(backend, chunk, tile_i, tile_j)
+            flow_fn = lambda p, ell, x, y_t, comp: jax.tree.map(
+                lambda v: lax.psum(v, psum_axis), _flow(p, ell, x, y_t))
+            step_fn = lambda p, ell, x, y_t, tw, comp: tuple(
+                lax.psum(v, psum_axis) for v in _step(p, ell, x, y_t, tw))
+        else:
+            _flow, _step = _stats_fns(backend, chunk, tile_i, tile_j)
+            flow_fn = lambda p, ell, x, y_t, comp: _flow(p, ell, x, y_t)
+            step_fn = lambda p, ell, x, y_t, tw, comp: _step(p, ell, x, y_t, tw)
 
     if record_history:
         hist = {
@@ -271,7 +341,8 @@ def align(
         else:
             comp = prep_fn(params, c.ell, source, y_t)
             stats = flow_fn(params, c.ell, source, y_t, comp)
-            twist, joint_norm = kernels.flow_from_stats(params, source, stats)
+            twist, joint_norm = kernels.flow_from_stats(
+                params, source, stats, psum_axis=ring_axis)
             B, C, D, E = step_fn(params, c.ell, source, y_t, twist, comp)
         step = step_from_poly(B, C, D, E, params.min_step, params.max_step)
 
@@ -381,6 +452,10 @@ def align(
         # more than skin since build (while drift < skin and ell only
         # decays, the list remains a superset of the kernel support).
         def inner_cond(c: _Carry):
+            if not params.is_using_geometry:
+                # the kernel is pose-independent: the value-ranked list is
+                # exact for the whole solve, never rebuild
+                return jnp.logical_not(c.done) & (c.k < max_iter)
             Rinv, Tinv = lie.invert_rt(c.R, c.T)
             drift = nbr.drift_exceeded(
                 inner_cond.nl, target, Rinv, Tinv, nl_skin)
@@ -389,9 +464,14 @@ def align(
 
         def outer_body(c: _Carry) -> _Carry:
             Rinv, Tinv = lie.invert_rt(c.R, c.T)
-            nl = nbr.build_neighbor_list(
-                params, c.ell, source, target, Rinv, Tinv,
-                k=nl_k, skin=nl_skin, per_cell_cap=nl_per_cell)
+            if nl_builder == "scan":
+                nl = nbr.build_neighbor_list_scan(
+                    params, c.ell, source, target, Rinv, Tinv,
+                    k=nl_k, skin=nl_skin, chunk=chunk)
+            else:
+                nl = nbr.build_neighbor_list(
+                    params, c.ell, source, target, Rinv, Tinv,
+                    k=nl_k, skin=nl_skin, per_cell_cap=nl_per_cell)
             c = c._replace(
                 nl_overflow=jnp.maximum(c.nl_overflow, nl.overflow),
                 nl_rebuilds=c.nl_rebuilds + 1,

@@ -194,14 +194,13 @@ def _edge_blocks(P11, P12, P22, T1, T2):
     return H_aa, H_bb, H_ab, b_a, b_b, cost
 
 
-def _assemble_and_solve(poses, edge_i, edge_j, moments: EdgeMoments,
-                        edge_active, pivot_mask, damping, dof_mask=None):
-    """One GN iteration: build the 6F x 6F system from edge blocks, fix the
-    gauge at pivot frames, Cholesky-solve, left-update the poses.
+def _assemble_system(poses, edge_i, edge_j, moments: EdgeMoments, edge_active):
+    """Build the (partial) 6F x 6F GN system from an edge (sub)set.
 
-    dof_mask: optional [6] 0/1 mask over the (rot, trans) tangent dims;
-    zeroed dims are frozen (the translation-only BA variant,
-    main_multi_frame_irls_translation_only_tartan.cpp)."""
+    Returns (H [F,6,F,6], b [F,6], cost). This half is psum-safe: in the
+    distributed solver each device assembles its local edge shard's partial
+    system, a single psum reduces (H, b, cost), and _solve_and_update runs
+    replicated (parallel/sharded_irls.py)."""
     F = poses.shape[0]
     T1 = poses[edge_i]                       # [E,3,4]
     T2 = poses[edge_j]
@@ -222,7 +221,13 @@ def _assemble_and_solve(poses, edge_i, edge_j, moments: EdgeMoments,
     b = jnp.zeros((F, 6), poses.dtype)
     b = b.at[edge_i].add(b_a)
     b = b.at[edge_j].add(b_b)
+    return H, b, jnp.sum(costs * w)
 
+
+def _solve_and_update(poses, H, b, pivot_mask, damping, dof_mask=None):
+    """Gauge-fix the assembled system, Cholesky-solve, left-update poses.
+    Returns (poses_new, |delta|)."""
+    F = poses.shape[0]
     free = 1.0 - pivot_mask.astype(poses.dtype)          # [F]
     free6 = jnp.repeat(free, 6)
     if dof_mask is not None:
@@ -240,14 +245,123 @@ def _assemble_and_solve(poses, edge_i, edge_j, moments: EdgeMoments,
     R_new = dR @ poses[:, :, :3]
     t_new = jnp.einsum("fij,fj->fi", dR, poses[:, :, 3]) + dt
     poses_new = jnp.concatenate([R_new, t_new[:, :, None]], axis=-1)
-    total_cost = jnp.sum(costs * w)
-    return poses_new, total_cost, jnp.linalg.norm(delta)
+    return poses_new, jnp.linalg.norm(delta)
+
+
+def _solve_cg_blocks(F, edge_i, edge_j, H_aa, H_bb, H_ab, b, free6f,
+                     damping, cg_iters, tol=1e-8):
+    """Matrix-free block-sparse PCG on the GN normal equations.
+
+    The TPU-native replacement for Ceres SPARSE_SCHUR at covis-graph scale
+    (reference IRLS.cpp:146-159): the 6F x 6F Hessian is never
+    materialized — its matvec is three batched [E,6,6]x[E,6] contractions
+    plus two scatter-adds (O(E) memory), preconditioned by the inverted
+    6x6 block diagonal. Solves H delta = -b with gauge/dof dims masked.
+
+    free6f: [F,6] 1.0 on free tangent dims (pivot/dof masking).
+    Returns delta [F,6]."""
+    f32 = b.dtype
+
+    def matvec(x):
+        x = x * free6f
+        xa = x[edge_i]
+        xb = x[edge_j]
+        ya = jnp.einsum("eij,ej->ei", H_aa, xa) + jnp.einsum(
+            "eij,ej->ei", H_ab, xb)
+        yb = jnp.einsum("eji,ej->ei", H_ab, xa) + jnp.einsum(
+            "eij,ej->ei", H_bb, xb)
+        y = (jnp.zeros((F, 6), f32).at[edge_i].add(ya).at[edge_j].add(yb))
+        return y * free6f + damping * x
+
+    # block-Jacobi preconditioner from the 6x6 diagonal blocks
+    D = (jnp.zeros((F, 6, 6), f32).at[edge_i].add(H_aa).at[edge_j].add(H_bb))
+    D = D * free6f[:, :, None] * free6f[:, None, :]
+    D = D + jnp.eye(6, dtype=f32)[None] * jnp.maximum(damping, 1e-8)
+    D_inv = jnp.linalg.inv(D)
+
+    def precond(r):
+        return jnp.einsum("fij,fj->fi", D_inv, r) * free6f
+
+    rhs = -b * free6f
+    x0 = jnp.zeros((F, 6), f32)
+    r0 = rhs
+    z0 = precond(r0)
+    rz0 = jnp.sum(r0 * z0)
+    thresh = tol * jnp.maximum(rz0, 1e-30)
+
+    def cond(c):
+        x, r, z, p, rz, it = c
+        return (rz > thresh) & (it < cg_iters)
+
+    def body(c):
+        x, r, z, p, rz, it = c
+        Ap = matvec(p)
+        alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        return (x, r, z, p, rz_new, it + 1)
+
+    x, *_ = lax.while_loop(cond, body, (x0, r0, z0, z0, rz0,
+                                        jnp.zeros((), jnp.int32)))
+    return x
+
+
+def _assemble_and_solve(poses, edge_i, edge_j, moments: EdgeMoments,
+                        edge_active, pivot_mask, damping, dof_mask=None,
+                        solver: str = "dense", cg_iters: int = 100):
+    """One GN iteration: build the 6F x 6F system from edge blocks, fix the
+    gauge at pivot frames, solve, left-update the poses.
+
+    solver: 'dense' Cholesky-solves the materialized 6F x 6F system (exact;
+    right up to a few hundred frames); 'cg' runs matrix-free block-sparse
+    PCG over the edge blocks (O(E) memory — the SPARSE_SCHUR-scale path
+    for 100+-frame covis graphs, IRLS.cpp:146-159).
+
+    dof_mask: optional [6] 0/1 mask over the (rot, trans) tangent dims;
+    zeroed dims are frozen (the translation-only BA variant,
+    main_multi_frame_irls_translation_only_tartan.cpp)."""
+    if solver == "dense":
+        H, b, total_cost = _assemble_system(poses, edge_i, edge_j, moments,
+                                            edge_active)
+        poses_new, dnorm = _solve_and_update(poses, H, b, pivot_mask, damping,
+                                             dof_mask=dof_mask)
+        return poses_new, total_cost, dnorm
+
+    F = poses.shape[0]
+    T1 = poses[edge_i]
+    T2 = poses[edge_j]
+    blocks = jax.vmap(_edge_blocks)(moments.P11, moments.P12, moments.P22,
+                                    T1, T2)
+    H_aa, H_bb, H_ab, b_a, b_b, costs = blocks
+    w = edge_active.astype(poses.dtype)
+    H_aa = H_aa * w[:, None, None]
+    H_bb = H_bb * w[:, None, None]
+    H_ab = H_ab * w[:, None, None]
+    b = (jnp.zeros((F, 6), poses.dtype)
+         .at[edge_i].add(b_a * w[:, None])
+         .at[edge_j].add(b_b * w[:, None]))
+    free = 1.0 - pivot_mask.astype(poses.dtype)
+    free6f = jnp.tile(
+        jnp.ones((6,), poses.dtype) if dof_mask is None
+        else jnp.asarray(dof_mask, poses.dtype), (F, 1)) * free[:, None]
+    delta = _solve_cg_blocks(F, edge_i, edge_j, H_aa, H_bb, H_ab, b, free6f,
+                             damping, cg_iters)
+    dR, dt = lie.se3_exp(delta, 1.0)
+    R_new = dR @ poses[:, :, :3]
+    t_new = jnp.einsum("fij,fj->fi", dR, poses[:, :, 3]) + dt
+    poses_new = jnp.concatenate([R_new, t_new[:, :, None]], axis=-1)
+    return poses_new, jnp.sum(costs * w), jnp.linalg.norm(delta)
 
 
 @functools.lru_cache(maxsize=32)
 def make_irls_kernels(params: CvoParams, chunk: int = 1024,
                       backend: str = "auto", nl_k: int = 128,
-                      nl_per_cell: int = 32, cloud_capacity: int = 0):
+                      nl_per_cell: int = 32, cloud_capacity: int = 0,
+                      solver: str = "dense", cg_iters: int = 100):
     """Jitted (moments, gn_iterations) closures for a fixed params object.
 
     Cached on the full argument tuple (params is a hashable frozen
@@ -297,7 +411,7 @@ def make_irls_kernels(params: CvoParams, chunk: int = 1024,
             poses, _, _ = carry
             poses_new, cost, dnorm = _assemble_and_solve(
                 poses, edge_i, edge_j, moments, edge_active, pivot_mask, damping,
-                dof_mask=dof_mask,
+                dof_mask=dof_mask, solver=solver, cg_iters=cg_iters,
             )
             return (poses_new, cost, dnorm), None
 
@@ -317,6 +431,7 @@ def make_irls_solver(
     backend: str = "auto",
     cloud_capacity: int = 0,
     translation_only: bool = False,
+    solver: str = "dense",
 ):
     """Fully on-device IRLS solve — the whole CvoBatchIRLS outer loop
     (IRLS.cpp:77-215 schedule: min-nonzeros edge gating, solve while total
@@ -330,7 +445,8 @@ def make_irls_solver(
     pivot_mask [F]) -> (poses [F,3,4], info dict of scalars).
     """
     moments_fn, gn_fn = make_irls_kernels(
-        params, chunk, backend=backend, cloud_capacity=cloud_capacity)
+        params, chunk, backend=backend, cloud_capacity=cloud_capacity,
+        solver=solver)
     dof_mask = (
         jnp.asarray([0, 0, 0, 1, 1, 1], jnp.float32) if translation_only else None
     )
@@ -411,6 +527,7 @@ def irls_solve(
     translation_only: bool = False,
     backend: str = "auto",
     engine: str = "auto",
+    solver: str = "auto",
 ):
     """Outer IRLS loop (the CvoBatchIRLS::solve twin).
 
@@ -443,6 +560,11 @@ def irls_solve(
         raise ValueError(
             "resume=True requires checkpoint_path — there is no snapshot to "
             "resume from otherwise")
+    if solver == "auto":
+        # dense Cholesky is exact and fast to a few hundred frames; the
+        # matrix-free block-sparse PCG takes over at covis-graph scale
+        # (the SPARSE_SCHUR analogue, IRLS.cpp:146-159)
+        solver = "cg" if len(init_poses) > 64 else "dense"
     if engine == "auto":
         engine = "host" if (checkpoint_path is not None or resume) else "device"
     if engine == "device" and (checkpoint_path is not None or resume):
@@ -454,7 +576,7 @@ def irls_solve(
         solve = make_irls_solver(
             params, chunk, backend=backend,
             cloud_capacity=int(clouds.xyz.shape[1]),
-            translation_only=translation_only)
+            translation_only=translation_only, solver=solver)
         edge_i = jnp.asarray([e[0] for e in edges], jnp.int32)
         edge_j = jnp.asarray([e[1] for e in edges], jnp.int32)
         pivot_mask = jnp.asarray(np.asarray(pivot_flags, np.float32))
@@ -472,7 +594,7 @@ def irls_solve(
         return np.asarray(poses), [hist]
     moments_fn, gn_fn = make_irls_kernels(
         params, chunk, backend=backend,
-        cloud_capacity=int(clouds.xyz.shape[1]))
+        cloud_capacity=int(clouds.xyz.shape[1]), solver=solver)
     dof_mask = (
         jnp.asarray([0, 0, 0, 1, 1, 1], jnp.float32) if translation_only else None
     )

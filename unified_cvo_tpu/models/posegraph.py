@@ -66,8 +66,17 @@ def optimize_pose_graph(
     fixed_mask: jax.Array,     # [F] 1.0 = held constant
     iters: int = 10,
     damping: float = 1e-6,
+    prior: Optional[dict] = None,
 ):
-    """Weighted GN over the pose graph. Returns optimized poses [F,4,4]."""
+    """Weighted GN over the pose graph. Returns optimized poses [F,4,4].
+
+    prior: optional Gaussian marginal from sliding-window marginalization
+    (the BatchFixedLagSmoother analogue, reference PoseGraph.cpp:421-551):
+    {idx [K] i32 local keyframe rows, H [6K,6K], b [6K], lin_R [K,3,3],
+    lin_t [K,3]}. Energy 0.5 (xi+delta)^T H (xi+delta) + b^T (xi+delta)
+    with xi_k = log(T_k T_lin,k^{-1}) the left-tangent deviation from the
+    linearization point — contributes H to the system and (H xi + b) to
+    the gradient each GN iteration."""
     F = poses.shape[0]
     R = poses[:, :3, :3]
     t = poses[:, :3, 3]
@@ -85,9 +94,18 @@ def optimize_pose_graph(
         w = weights[:, None, None, None]
         E = res.shape[0]
         Jf = (J * w).reshape(E * 6, F * 6)
-        rf = (res * weights[:, None]).reshape(E * 6)
         H = Jf.T @ (J.reshape(E * 6, F * 6))
         b = Jf.T @ res.reshape(E * 6)
+        if prior is not None:
+            pR = R[prior["idx"]]
+            pt = t[prior["idx"]]
+            Rd = jnp.einsum("kil,kjl->kij", pR, prior["lin_R"])  # R lin_R^T
+            td = pt - jnp.einsum("kij,kj->ki", Rd, prior["lin_t"])
+            xi = lie.se3_log(Rd, td).reshape(-1)                 # [6K]
+            rows = (prior["idx"][:, None] * 6
+                    + jnp.arange(6, dtype=jnp.int32)[None, :]).reshape(-1)
+            H = H.at[rows[:, None], rows[None, :]].add(prior["H"])
+            b = b.at[rows].add(prior["H"] @ xi + prior["b"])
         free6 = jnp.repeat(free[:, 0], 6)
         H = H * free6[:, None] * free6[None, :]
         H = H + jnp.diag(jnp.where(free6 > 0, damping, 1.0))
@@ -124,6 +142,12 @@ class PoseGraph:
         self.keyframe_ids: List[int] = []
         self.factors: List[RelativePose] = []
         self.trajectory: List[np.ndarray] = []       # every frame, world_T_f
+        self.window_lo = 0                           # first in-window keyframe
+        # Gaussian marginal over the window-boundary keyframes:
+        # {"ids": global kf indices [K], "H": [6K,6K], "b": [6K],
+        #  "lin": [K,4,4] linearization poses} — None until the window
+        # first slides
+        self.prior: Optional[dict] = None
 
     @property
     def num_keyframes(self):
@@ -164,13 +188,112 @@ class PoseGraph:
         self.optimize()
         return True
 
+    def _linearized_system(self, factors, S, loc):
+        """(H, b) of `factors` linearized at the current keyframe estimates
+        over the variable set S (local index map loc), reference-weighted
+        exactly as optimize_pose_graph builds its system."""
+        K = len(S)
+        poses = jnp.asarray(
+            np.stack([self.keyframe_poses[s] for s in S]), jnp.float32)
+        R, t = poses[:, :3, :3], poses[:, :3, 3]
+        fi = jnp.asarray([loc[f.ref_id] for f in factors], jnp.int32)
+        fj = jnp.asarray([loc[f.curr_id] for f in factors], jnp.int32)
+        Z = jnp.asarray(np.stack([f.transform for f in factors]), jnp.float32)
+        Rz, tz = Z[:, :3, :3], Z[:, :3, 3]
+        zero = jnp.zeros((K, 6), jnp.float32)
+        res = _factor_residuals((R, t), zero, fi, fj, (Rz, tz))
+        J = jax.jacfwd(
+            lambda d: _factor_residuals((R, t), d, fi, fj, (Rz, tz)))(zero)
+        E = res.shape[0]
+        w = self.config.odometry_weight
+        Jf = np.asarray(J, np.float64).reshape(E * 6, K * 6) * w
+        rf = np.asarray(res, np.float64).reshape(E * 6)
+        return Jf.T @ (Jf / w), Jf.T @ rf
+
+    def _marginalize(self, new_lo: int):
+        """Schur-complement the keyframes [window_lo, new_lo) out of the
+        factors (and existing prior) that touch them, leaving a Gaussian
+        marginal on the boundary keyframes — real fixed-lag smoothing
+        (GTSAM BatchFixedLagSmoother, reference PoseGraph.cpp:421-551)
+        instead of factor truncation, which silently re-anchors the window
+        and drops all cross-boundary information."""
+        marg = [f for f in self.factors
+                if f.ref_id < new_lo or f.curr_id < new_lo]
+        keep = [f for f in self.factors
+                if f.ref_id >= new_lo and f.curr_id >= new_lo]
+        ids = set(range(self.window_lo, new_lo))
+        for f in marg:
+            ids.update((f.ref_id, f.curr_id))
+        if self.prior is not None:
+            ids.update(self.prior["ids"])
+        S = sorted(ids)
+        loc = {s: k for k, s in enumerate(S)}
+        K = len(S)
+        if marg:
+            H, b = self._linearized_system(marg, S, loc)
+        else:
+            H, b = np.zeros((6 * K, 6 * K)), np.zeros(6 * K)
+
+        if self.prior is not None:
+            # transport the old prior to the current linearization point:
+            # xi = log(T_cur T_lin^{-1}) folds into the gradient
+            p_rows = np.concatenate(
+                [6 * loc[s] + np.arange(6) for s in self.prior["ids"]])
+            xi = []
+            for k, s in enumerate(self.prior["ids"]):
+                T_cur = self.keyframe_poses[s]
+                T_lin = self.prior["lin"][k]
+                D = T_cur @ np.linalg.inv(T_lin)
+                xi.append(np.asarray(lie.se3_log(
+                    jnp.asarray(D[:3, :3], jnp.float32),
+                    jnp.asarray(D[:3, 3], jnp.float32)), np.float64))
+            xi = np.concatenate(xi)
+            H[np.ix_(p_rows, p_rows)] += self.prior["H"]
+            b[p_rows] += self.prior["H"] @ xi + self.prior["b"]
+
+        # keyframe 0 is globally gauge-fixed (delta_0 = 0): conditioning on
+        # it = simply excluding its rows/cols from both partitions
+        def rows_of(ids):
+            return (np.concatenate([6 * loc[s] + np.arange(6) for s in ids])
+                    if ids else np.zeros(0, np.int64))
+
+        m_rows = rows_of([s for s in S if s < new_lo and s != 0])
+        b_ids = [s for s in S if s >= new_lo]
+        b_rows = rows_of(b_ids)
+
+        if len(b_rows) and len(m_rows):
+            H_mm = H[np.ix_(m_rows, m_rows)] + 1e-9 * np.eye(len(m_rows))
+            H_bm = H[np.ix_(b_rows, m_rows)]
+            sol_H = np.linalg.solve(H_mm, H[np.ix_(m_rows, b_rows)])
+            sol_b = np.linalg.solve(H_mm, b[m_rows])
+            H_new = H[np.ix_(b_rows, b_rows)] - H_bm @ sol_H
+            b_new = b[b_rows] - H_bm @ sol_b
+            self.prior = {
+                "ids": b_ids,
+                "H": H_new,
+                "b": b_new,
+                "lin": np.stack([self.keyframe_poses[s] for s in b_ids]),
+            }
+        elif len(b_rows):
+            self.prior = {
+                "ids": b_ids,
+                "H": H[np.ix_(b_rows, b_rows)],
+                "b": b[b_rows],
+                "lin": np.stack([self.keyframe_poses[s] for s in b_ids]),
+            }
+        else:
+            self.prior = None
+        self.factors = keep
+        self.window_lo = new_lo
+
     def optimize(self):
         F = len(self.keyframe_poses)
         if F < 2 or not self.factors:
             return
-        lo = 0
-        if self.config.window_size and F > self.config.window_size:
-            lo = F - self.config.window_size  # sliding-window marginalization
+        lo = self.window_lo
+        if self.config.window_size and F - lo > self.config.window_size:
+            lo = F - self.config.window_size
+            self._marginalize(lo)
         sub = [f for f in self.factors if f.ref_id >= lo and f.curr_id >= lo]
         if not sub:
             return
@@ -180,10 +303,22 @@ class PoseGraph:
         Z = jnp.asarray(np.stack([f.transform for f in sub]), jnp.float32)
         w = jnp.asarray([self.config.odometry_weight] * len(sub), jnp.float32)
         fixed = np.zeros(poses.shape[0], np.float32)
-        fixed[0] = 1.0
+        if lo == 0:
+            fixed[0] = 1.0   # gauge: the global origin while in window;
+            # afterwards the marginal prior anchors the window
+        prior_local = None
+        if self.prior is not None:
+            prior_local = {
+                "idx": jnp.asarray(
+                    [s - lo for s in self.prior["ids"]], jnp.int32),
+                "H": jnp.asarray(self.prior["H"], jnp.float32),
+                "b": jnp.asarray(self.prior["b"], jnp.float32),
+                "lin_R": jnp.asarray(self.prior["lin"][:, :3, :3], jnp.float32),
+                "lin_t": jnp.asarray(self.prior["lin"][:, :3, 3], jnp.float32),
+            }
         out, _ = optimize_pose_graph(
             poses, fi, fj, Z, w, jnp.asarray(fixed),
-            iters=self.config.optimize_iters,
+            iters=self.config.optimize_iters, prior=prior_local,
         )
         out = np.asarray(out, np.float64)
         for k in range(poses.shape[0]):

@@ -373,16 +373,22 @@ def flow_stats(params, ell, x: PointCloud, y_t: PointCloud, chunk: int = DEFAULT
     return FlowStats(s, w, cnt, asum)
 
 
-def flow_from_stats(params, x: PointCloud, stats: FlowStats):
+def flow_from_stats(params, x: PointCloud, stats: FlowStats, psum_axis=None):
     """se(3) gradient flow (reference compute_flow, CvoGPU.cu:729-848).
 
     Returns (unit_twist [6], joint_norm) where unit_twist = [omega, v]
     jointly normalized; joint_norm is the pre-normalization magnitude used
     for the degeneracy test.
+
+    psum_axis: when x is a source-point SHARD (ring-sharded full align),
+    the row reduction covers only the local rows; the joint 6-vector is
+    psum'd over the axis before normalization.
     """
     omega = jnp.sum(jnp.cross(x.xyz, stats.row_wy), axis=0) / params.c
     v = jnp.sum(stats.row_wy - stats.row_sum[:, None] * x.xyz, axis=0) / params.d
     joint = jnp.concatenate([omega, v])
+    if psum_axis is not None:
+        joint = lax.psum(joint, psum_axis)
     jn = jnp.linalg.norm(joint)
     unit = joint / jnp.where(jn < 1e-30, 1.0, jn)
     return unit, jn

@@ -242,31 +242,121 @@ def build_neighbor_list(
     overflow = (jnp.sum(keep) - jnp.sum(valid)).astype(jnp.int32) + \
         per_cell_dropped.astype(jnp.int32)
 
-    def gather_field(a):
-        """Per-candidate extra fields (intensity/semantics/geo-type runs):
-        one [N*K]-index row gather of the target array in its compact
-        [N*K, F] layout, then ONE transpose to component-major [F, N, K]
-        (gathering straight into [N, K, F] would poison the gather with a
-        minor-dim-F tiled layout; see the table-layout note above)."""
-        if a is None:
-            return None
-        flat = jnp.where(idx >= 0, idx, 0).reshape(-1)
-        g = a[flat]                                         # [N*K, F] compact
-        return g.T.reshape(a.shape[1], idx.shape[0], idx.shape[1])
-
-    chan = _channel_kernel(
-        params, x, valid,
-        gather_field(target.features if params.is_using_intensity else None),
-        gather_field(target.labels if params.is_using_semantics else None),
-        gather_field(
-            target.geometric_types if params.is_using_geometric_type else None),
-    )
+    chan = _build_chan(params, x, target, idx, valid)
     return NeighborList(
         idx=idx,
         valid=valid,
         y_xyz=y_xyz,
         chan=chan,
         y_t_build=y_t,
+        overflow=overflow,
+    )
+
+
+def _gather_slots(a, idx):
+    """Per-candidate extra fields (intensity/semantics/geo-type runs):
+    one [N*K]-index row gather of the target array in its compact
+    [N*K, F] layout, then ONE transpose to component-major [F, N, K]
+    (gathering straight into [N, K, F] would poison the gather with a
+    minor-dim-F tiled layout; see the table-layout note above)."""
+    if a is None:
+        return None
+    flat = jnp.where(idx >= 0, idx, 0).reshape(-1)
+    g = a[flat]                                             # [N*K, F] compact
+    return g.T.reshape(a.shape[1], idx.shape[0], idx.shape[1])
+
+
+def _build_chan(params, x: PointCloud, target: PointCloud, idx, valid):
+    return _channel_kernel(
+        params, x, valid,
+        _gather_slots(target.features if params.is_using_intensity else None, idx),
+        _gather_slots(target.labels if params.is_using_semantics else None, idx),
+        _gather_slots(
+            target.geometric_types if params.is_using_geometric_type else None,
+            idx),
+    )
+
+
+def build_neighbor_list_scan(
+    params,
+    ell,
+    x: PointCloud,
+    target: PointCloud,
+    R_inv,
+    T_inv,
+    k: int = DEFAULT_K,
+    skin: float = DEFAULT_SKIN,
+    chunk: int = 2048,
+) -> NeighborList:
+    """Brute-force chunked top-K candidate build — no voxel grid.
+
+    The general-coverage sibling of build_neighbor_list: one dense N x M
+    distance scan per (re)build, streamed in target chunks with a running
+    multi-operand top-K merge, amortized over the iterations until the
+    Verlet skin drift fires. Sound for ANY support radius and cloud size
+    (the voxel builder's cell-cap and support<=cell preconditions do not
+    exist here), which is what retires the dense-per-iteration fallback:
+    one scan per rebuild instead of two scans per iteration
+    (reference brute-force mode, fill_in_A_mat_gpu CvoGPU.cu:477-593,
+    with its num_neighbors ELL row cap, :576-589).
+
+    With the geometric channel OFF, the kernel is pose-independent:
+    candidates are ranked by the channel kernel value itself (strongest-K
+    per row — the reference's first-K-in-scan-order cap keeps arbitrary
+    pairs; keeping the strongest is strictly better) and the list stays
+    exact for the whole solve — the align loop never rebuilds it.
+    """
+    f32 = jnp.float32
+    N = x.capacity
+    M = target.capacity
+    chunk = min(chunk, M)
+    tgt = jnp_kernels.pad_cloud_to_multiple(target, chunk)
+    Mp = tgt.capacity
+    nchunks = Mp // chunk
+    y_t_full = _transform_cols(tgt.xyz, R_inv, T_inv)       # [Mp,3]
+    use_geom = bool(params.is_using_geometry)
+    if use_geom:
+        r2 = (support_radius(params, ell, x) + f32(skin))[:, None] ** 2
+
+    def body(c, carry):
+        key, idx, nkeep = carry
+        lo = c * chunk
+        if use_geom:
+            d2 = jnp.zeros((N, chunk), f32)
+            for ci in range(3):
+                yc = lax.dynamic_slice_in_dim(y_t_full[:, ci], lo, chunk)
+                diff = x.xyz[:, ci, None] - yc[None, :]
+                d2 = d2 + diff * diff
+            mb = lax.dynamic_slice_in_dim(tgt.mask, lo, chunk)
+            keep = (d2 <= r2) & (mb[None, :] > 0) & (x.mask[:, None] > 0)
+            kb = jnp.where(keep, d2, jnp.inf)
+        else:
+            yb = jnp_kernels._slice_cloud(tgt, lo, chunk)
+            # pose-independent channel kernel (kernel_block with geometry
+            # off evaluates exactly the color/semantic/geo-type product)
+            a = jnp_kernels.kernel_block(params, ell, x, yb)
+            kb = jnp.where(a > 0, -a, jnp.inf)              # strongest first
+        cols = lo + jax.lax.broadcasted_iota(jnp.int32, (N, chunk), 1)
+        ck = jnp.concatenate([key, kb], axis=1)
+        ci_ = jnp.concatenate([idx, cols], axis=1)
+        ck, ci_ = lax.sort((ck, ci_), dimension=1, num_keys=1)
+        nkeep = nkeep + jnp.sum(jnp.isfinite(kb))
+        return ck[:, :k], ci_[:, :k], nkeep
+
+    init = (jnp.full((N, k), jnp.inf, f32), jnp.full((N, k), -1, jnp.int32),
+            jnp.zeros((), jnp.int32))
+    key, idx, nkeep = lax.fori_loop(0, nchunks, body, init)
+    valid = jnp.isfinite(key)
+    idx = jnp.where(valid, idx, -1)
+    overflow = nkeep - jnp.sum(valid).astype(jnp.int32)
+    y_xyz = jnp.where(valid[None], _gather_slots(tgt.xyz, idx), 0.0)
+    chan = _build_chan(params, x, tgt, idx, valid)
+    return NeighborList(
+        idx=idx,
+        valid=valid,
+        y_xyz=y_xyz,
+        chan=chan,
+        y_t_build=y_t_full[:M],
         overflow=overflow,
     )
 

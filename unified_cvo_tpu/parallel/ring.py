@@ -80,6 +80,48 @@ def ring_step_coeffs(params, ell, x_shard: PointCloud, y_shard: PointCloud,
             lax.psum(E, axis))
 
 
+def make_ring_full_align(params: CvoParams, mesh: Mesh, axis: str = "sp",
+                         chunk: int = 512, max_iter=None):
+    """The COMPLETE while-loop aligner with BOTH clouds point-sharded and
+    target blocks rotating through the ring every iteration — the
+    full-loop composition of the context-parallel kernel above. No device
+    ever holds more than N/P + M/P points while the whole align schedule
+    (indicator, ell decay, convergence) runs to completion on-device.
+
+    Returns align_fn(source, target, init_guess) ->
+    (transform [4,4], ret, info dict), both clouds sharded on their point
+    axis over `axis`.
+    """
+    from unified_cvo_tpu.models.align import align
+
+    def local(x_shard, y_shard, ig):
+        T, ret, info = align(
+            x_shard, y_shard, ig, params, chunk=chunk, max_iter=max_iter,
+            ring_axis=axis, spatial_culling=False)
+        return T, ret, {
+            "iterations": info.iterations, "final_ell": info.final_ell,
+            "nonzeros": info.nonzeros, "inner_product": info.inner_product,
+        }
+
+    def cloud_spec(pc: PointCloud):
+        return jax.tree.map(
+            lambda a: P(*((axis,) + (None,) * (a.ndim - 1))), pc)
+
+    @functools.partial(jax.jit)
+    def full(x, y, ig):
+        fn = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(cloud_spec(x), cloud_spec(y), P()),
+            out_specs=(P(), P(), {k: P() for k in (
+                "iterations", "final_ell", "nonzeros", "inner_product")}),
+            check_vma=False,
+        )
+        return fn(x, y, ig)
+
+    return full
+
+
 def make_ring_align_iteration(params: CvoParams, mesh: Mesh, axis: str = "sp",
                               chunk: int = 512):
     """Jitted one-iteration gradient-flow step with both clouds sharded on

@@ -68,6 +68,51 @@ def _align_iteration_local(params, sp_axis, src: PointCloud, tgt_shard: PointClo
     return R_new, T_new, metrics
 
 
+def make_sharded_full_align(params: CvoParams, mesh: Mesh, axis: str = "sp",
+                            chunk: int = 512, max_iter: Optional[int] = None):
+    """The COMPLETE while-loop aligner (indicator, ell schedule,
+    convergence breaks — models/align.py) with the target's point dimension
+    sharded over `axis`: every flow/step reduction psums across the mesh
+    each iteration, so one 100k+-point registration runs end-to-end across
+    devices (the sharded composition of the reference's whole align_impl
+    loop, CvoGPU.cu:1340-1572).
+
+    Returns align_fn(source, target, init_guess) ->
+    (transform [4,4], ret, info dict); source replicated, target sharded
+    on its point axis. Parity with single-device align(backend='jnp') is
+    exact modulo psum summation order (tests/test_parallel.py).
+    """
+    from unified_cvo_tpu.models.align import align
+
+    def local(src, tgt_shard, ig):
+        T, ret, info = align(
+            src, tgt_shard, ig, params, chunk=chunk, max_iter=max_iter,
+            psum_axis=axis, spatial_culling=False)
+        return T, ret, {
+            "iterations": info.iterations, "final_ell": info.final_ell,
+            "nonzeros": info.nonzeros, "inner_product": info.inner_product,
+        }
+
+    def cloud_spec(pc: PointCloud, shard: bool):
+        lead = (axis,) if shard else (None,)
+        return jax.tree.map(
+            lambda a: P(*(lead + (None,) * (a.ndim - 1))), pc)
+
+    @jax.jit
+    def full(src, tgt, ig):
+        fn = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(cloud_spec(src, False), cloud_spec(tgt, True), P()),
+            out_specs=(P(), P(), {k: P() for k in (
+                "iterations", "final_ell", "nonzeros", "inner_product")}),
+            check_vma=False,
+        )
+        return fn(src, tgt, ig)
+
+    return full
+
+
 def make_batched_align_step(params: CvoParams, mesh: Mesh):
     """Jitted (src_batch, tgt_batch, R[B,3,3], T[B,3], ell[B]) -> updated.
 
