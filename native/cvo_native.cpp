@@ -55,19 +55,13 @@ void census_transform(const uint8_t* img, int h, int w, uint32_t* out) {
   for (auto& t : ts) t.join();
 }
 
-// One scanline-direction pass of SGM cost aggregation.
-// agg += min-path-cost along direction (dx, dy).
+// One horizontal scanline pass of SGM cost aggregation (rows are
+// independent -> threaded). agg += min-path-cost along direction (dx, 0).
 void aggregate_dir(const uint16_t* cost, int h, int w, int D, int dx, int dy,
                    int P1, int P2, uint32_t* agg) {
-  std::vector<uint16_t> Lprev(D), Lcur(D);
-  // iterate in an order so that (x-dx, y-dy) is already done
-  int ys = dy >= 0 ? 0 : h - 1, ye = dy >= 0 ? h : -1, ystep = dy >= 0 ? 1 : -1;
   int xs = dx >= 0 ? 0 : w - 1, xe = dx >= 0 ? w : -1, xstep = dx >= 0 ? 1 : -1;
-  std::vector<uint16_t> L(static_cast<size_t>(w) * D);  // per-row storage
-  std::vector<uint16_t> Lrow_prev(static_cast<size_t>(w) * D, 0);
-  bool horizontal_only = (dy == 0);
-
-  if (horizontal_only) {
+  (void)dy;
+  {
     auto worker2 = [&](int y0, int y1) {
       std::vector<uint16_t> Lp(D), Lc(D);
       for (int y = y0; y < y1; ++y) {
@@ -105,11 +99,18 @@ void aggregate_dir(const uint16_t* cost, int h, int w, int D, int dx, int dy,
       if (y0 < y1) ts.emplace_back(worker2, y0, y1);
     }
     for (auto& t : ts) t.join();
-    return;
   }
+}
 
-  // vertical / diagonal: process rows sequentially, columns independent
-  std::fill(Lrow_prev.begin(), Lrow_prev.end(), 0);
+// Same vertical/diagonal pass writing its OWN u16 volume (assignment, not
+// accumulation): the four non-horizontal passes are mutually independent,
+// so the driver runs them on four concurrent threads into private buffers
+// and reduces afterwards — one pass of wall time instead of four.
+void aggregate_dir_u16(const uint16_t* cost, int h, int w, int D, int dx,
+                       int dy, int P1, int P2, uint16_t* out) {
+  int ys = dy >= 0 ? 0 : h - 1, ye = dy >= 0 ? h : -1, ystep = dy >= 0 ? 1 : -1;
+  std::vector<uint16_t> L(static_cast<size_t>(w) * D);
+  std::vector<uint16_t> Lrow_prev(static_cast<size_t>(w) * D, 0);
   std::vector<uint16_t> minrow_prev(w, 0);
   std::vector<uint8_t> valid_prev(w, 0);
   std::vector<uint16_t> minrow_cur(w, 0);
@@ -118,7 +119,7 @@ void aggregate_dir(const uint16_t* cost, int h, int w, int D, int dx, int dy,
     for (int x = 0; x < w; ++x) {
       int px = x - dx;  // predecessor column in the previous row
       const uint16_t* c = cost + (static_cast<size_t>(y) * w + x) * D;
-      uint32_t* a = agg + (static_cast<size_t>(y) * w + x) * D;
+      uint16_t* a = out + (static_cast<size_t>(y) * w + x) * D;
       uint16_t* Lc = L.data() + static_cast<size_t>(x) * D;
       bool has_prev = (y != ys) && px >= 0 && px < w && valid_prev[px];
       const uint16_t* Lp = Lrow_prev.data() + static_cast<size_t>(std::min(std::max(px, 0), w - 1)) * D;
@@ -135,7 +136,7 @@ void aggregate_dir(const uint16_t* cost, int h, int w, int D, int dx, int dy,
         }
         uint16_t vv = static_cast<uint16_t>(std::min<uint32_t>(v, 60000));
         Lc[d] = vv;
-        a[d] += vv;
+        a[d] = vv;
         if (vv < mincur) mincur = vv;
       }
       minrow_cur[x] = mincur;
@@ -190,14 +191,40 @@ int cvo_sgm_disparity(const uint8_t* left, const uint8_t* right, int h, int w,
     for (auto& t : ts) t.join();
   }
 
-  // 6-path aggregation (2 horizontal, 2 vertical, 2 diagonal)
+  // 6-path aggregation: the 2 horizontal passes thread over rows and
+  // accumulate straight into agg; the 4 vertical/diagonal passes (whose
+  // scanline recurrences serialize rows) run CONCURRENTLY into private
+  // u16 volumes, reduced below — one pass of wall time instead of four.
   std::vector<uint32_t> agg(static_cast<size_t>(h) * w * D, 0);
   aggregate_dir(cost.data(), h, w, D, 1, 0, p1, p2, agg.data());
   aggregate_dir(cost.data(), h, w, D, -1, 0, p1, p2, agg.data());
-  aggregate_dir(cost.data(), h, w, D, 0, 1, p1, p2, agg.data());
-  aggregate_dir(cost.data(), h, w, D, 0, -1, p1, p2, agg.data());
-  aggregate_dir(cost.data(), h, w, D, 1, 1, p1, p2, agg.data());
-  aggregate_dir(cost.data(), h, w, D, -1, -1, p1, p2, agg.data());
+  {
+    const int dirs[4][2] = {{0, 1}, {0, -1}, {1, 1}, {-1, -1}};
+    std::vector<std::vector<uint16_t>> bufs(4);
+    std::vector<std::thread> ts;
+    for (int k = 0; k < 4; ++k) {
+      bufs[k].resize(static_cast<size_t>(h) * w * D);
+      ts.emplace_back([&, k] {
+        aggregate_dir_u16(cost.data(), h, w, D, dirs[k][0], dirs[k][1], p1,
+                          p2, bufs[k].data());
+      });
+    }
+    for (auto& t : ts) t.join();
+    const size_t total = static_cast<size_t>(h) * w * D;
+    int nt = std::max(1u, std::thread::hardware_concurrency());
+    std::vector<std::thread> rs;
+    size_t chunk = (total + nt - 1) / nt;
+    for (int t = 0; t < nt; ++t) {
+      size_t i0 = t * chunk, i1 = std::min(total, i0 + chunk);
+      if (i0 >= i1) break;
+      rs.emplace_back([&, i0, i1] {
+        for (size_t i = i0; i < i1; ++i)
+          agg[i] += static_cast<uint32_t>(bufs[0][i]) + bufs[1][i] +
+                    bufs[2][i] + bufs[3][i];
+      });
+    }
+    for (auto& t : rs) t.join();
+  }
 
   // WTA + uniqueness + subpixel, then left-right consistency
   std::vector<float> disp_l(static_cast<size_t>(h) * w, -1.0f);
@@ -265,6 +292,70 @@ int cvo_sgm_disparity(const uint8_t* left, const uint8_t* right, int h, int w,
         }
       }
       disparity_out[y * w + x] = out;
+    }
+  }
+
+  // 3x3 median over valid disparities (standard post-SGM salt removal;
+  // cv2's SGBM applies the same class of filter internally)
+  {
+    std::vector<float> med(static_cast<size_t>(h) * w);
+    for (int y = 0; y < h; ++y) {
+      for (int x = 0; x < w; ++x) {
+        float vals[9];
+        int n = 0;
+        for (int dy2 = -1; dy2 <= 1; ++dy2) {
+          for (int dx2 = -1; dx2 <= 1; ++dx2) {
+            int yy = y + dy2, xx = x + dx2;
+            if (yy < 0 || yy >= h || xx < 0 || xx >= w) continue;
+            float v = disparity_out[yy * w + xx];
+            if (v > 0) vals[n++] = v;
+          }
+        }
+        float self = disparity_out[y * w + x];
+        if (self > 0 && n >= 5) {
+          std::nth_element(vals, vals + n / 2, vals + n);
+          med[y * w + x] = vals[n / 2];
+        } else {
+          med[y * w + x] = self;
+        }
+      }
+    }
+    std::copy(med.begin(), med.end(), disparity_out);
+  }
+
+  // speckle removal: invalidate connected regions (4-neighborhood,
+  // |d_i - d_j| <= 1) smaller than kSpeckleMin pixels — the cv2 SGBM
+  // speckleWindowSize analogue; kills isolated LR-check survivors
+  {
+    constexpr int kSpeckleMin = 120;
+    std::vector<int32_t> label(static_cast<size_t>(h) * w, -1);
+    std::vector<int32_t> stack;
+    std::vector<int32_t> region;
+    for (int start = 0; start < h * w; ++start) {
+      if (label[start] >= 0 || disparity_out[start] <= 0) continue;
+      stack.assign(1, start);
+      region.clear();
+      label[start] = start;
+      while (!stack.empty()) {
+        int i = stack.back();
+        stack.pop_back();
+        region.push_back(i);
+        int y = i / w, x = i - y * w;
+        const int ny[4] = {y - 1, y + 1, y, y};
+        const int nx[4] = {x, x, x - 1, x + 1};
+        for (int k = 0; k < 4; ++k) {
+          if (ny[k] < 0 || ny[k] >= h || nx[k] < 0 || nx[k] >= w) continue;
+          int j = ny[k] * w + nx[k];
+          if (label[j] >= 0 || disparity_out[j] <= 0) continue;
+          if (std::abs(disparity_out[j] - disparity_out[i]) <= 1.0f) {
+            label[j] = start;
+            stack.push_back(j);
+          }
+        }
+      }
+      if (static_cast<int>(region.size()) < kSpeckleMin) {
+        for (int i : region) disparity_out[i] = -1.0f;
+      }
     }
   }
   return 0;

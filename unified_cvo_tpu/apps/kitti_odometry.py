@@ -44,6 +44,7 @@ def run_sequence(
     semantic: bool = False,
     num_classes: int = 19,
     capacity: int = CAPACITY,
+    stereo_backend: str = "auto",
 ):
     from unified_cvo_tpu.utils.logging import MetricsLogger
 
@@ -66,7 +67,8 @@ def run_sequence(
 
     def build_cloud(left, right, sem):
         return pointcloud_from_stereo(
-            left, right, calib, semantics=sem, denoise=denoise, capacity=capacity
+            left, right, calib, semantics=sem, denoise=denoise,
+            capacity=capacity, stereo_backend=stereo_backend,
         )
 
     frame = read_frame()

@@ -61,11 +61,12 @@ def pointcloud_from_stereo(
     bucket: int = 1024,
     capacity: Optional[int] = None,
     disparity: Optional[np.ndarray] = None,
+    stereo_backend: str = "auto",
 ) -> PointCloud:
     raw = make_raw_image(left, semantics=semantics, denoise=denoise)
     uv, gtype = sel.select_points(raw, "stereo", method)
     if disparity is None:
-        disparity = compute_disparity(left, right)
+        disparity = compute_disparity(left, right, backend=stereo_backend)
     xyz, valid = backproject_disparity(uv, disparity, calib)
     good = valid & is_good_point(xyz, uv, raw.rows, raw.cols)
     return _finalize(raw, uv, gtype, xyz, good, bucket, capacity)
