@@ -101,6 +101,68 @@ def test_bki_map_occupancy_and_semantics():
     assert states[2] == 0                       # unseen
 
 
+def _oracle_alpha(pos, ev, res, ell, sigma0, prior):
+    """Brute-force per-point cube-walk oracle for the device scatter path."""
+    reach = int(np.ceil(ell / res))
+    offs = np.arange(-reach, reach + 1)
+    cube = np.stack(np.meshgrid(offs, offs, offs, indexing="ij"), -1).reshape(-1, 3)
+    acc = {}
+    for p, e in zip(pos, ev):
+        base = np.floor(p / res).astype(np.int64)
+        for off in cube:
+            v = base + off
+            c = (v + 0.5) * res
+            w = float(sparse_kernel(np.linalg.norm(c - p), ell, sigma0))
+            if w > 0:
+                k = tuple(v)
+                acc[k] = acc.get(k, np.full(ev.shape[1], prior)) + w * e
+    return acc
+
+
+def _check_against_oracle(m, oracle, res):
+    """Match map voxels to the f64 oracle. The BKI kernel's tail is ~1e-6
+    near its support edge, so f32 on device can flip a borderline weight to
+    exactly 0 — voxels present on only one side must carry negligible
+    evidence; shared voxels must agree."""
+    centers, _, alphas = m.export_occupied()
+    vox = np.floor(centers / res + 1e-6).astype(np.int64)
+    seen = set()
+    for v, a in zip(vox, alphas):
+        k = tuple(v)
+        if k in oracle:
+            np.testing.assert_allclose(a, oracle[k], rtol=3e-5, atol=3e-5)
+            seen.add(k)
+        else:
+            assert (a - m.prior).max() < 1e-4, (k, a)
+    for k, a in oracle.items():
+        if k not in seen:
+            assert (a - m.prior).max() < 1e-4, (k, a)
+
+
+def test_bki_scatter_matches_bruteforce_oracle(rng):
+    """The sort/segment-sum device scatter (both the wide and the rank-1
+    scalar path) must reproduce the per-point cube-walk accumulation."""
+    res, ell, C = 0.1, 0.2, 3
+    pos = rng.uniform(-0.8, 0.8, (80, 3))
+    labels = np.eye(C + 1)[rng.integers(1, C + 1, 80)][:, 1:]
+
+    # wide path (per-point label rows)
+    m = SemanticBKIMap(resolution=res, num_classes=C, ell=ell)
+    m.insert_pointcloud(pos, labels)          # no origin: no free evidence
+    ev = np.zeros((80, C + 1))
+    ev[:, 1:] = labels
+    oracle = _oracle_alpha(pos, ev, res, ell, m.sigma0, m.prior)
+    _check_against_oracle(m, oracle, res)
+
+    # scalar path (unlabeled occupied -> class 1 evidence)
+    m2 = SemanticBKIMap(resolution=res, num_classes=C, ell=ell)
+    m2.insert_pointcloud(pos)
+    ev1 = np.zeros((80, C + 1))
+    ev1[:, 1] = 1.0
+    oracle1 = _oracle_alpha(pos, ev1, res, ell, m2.sigma0, m2.prior)
+    _check_against_oracle(m2, oracle1, res)
+
+
 def test_keyframe_local_map_roundtrip():
     rng = np.random.default_rng(1)
     xyz = rng.uniform(-1, 1, (100, 3)).astype(np.float32) + [0, 0, 3]

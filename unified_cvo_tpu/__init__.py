@@ -25,6 +25,19 @@ import jax as _jax
 # this covers every small pose/moment matmul elsewhere at negligible cost.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: over remote-TPU links a cold compile costs
+# tens of seconds to minutes of round-tripping, per process. Cache compiled
+# executables on disk so drivers, benches, and tests pay it once per program
+# shape. Opt out with UNIFIED_CVO_NO_COMPILE_CACHE=1.
+import os as _os
+
+if not _os.environ.get("UNIFIED_CVO_NO_COMPILE_CACHE"):
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                        _os.path.expanduser("~/.cache/unified_cvo_tpu_xla")))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from unified_cvo_tpu.config import CvoParams, read_cvo_params_yaml
 
 __version__ = "0.1.0"
