@@ -242,10 +242,14 @@ class SemanticBKIMap:
             nseg = int(nseg_d)
             if nseg == 0:
                 return
-            k = np.asarray(keys_d[:nseg]).astype(np.int64)
+            # slice to a power-of-two cap, not nseg: every distinct slice
+            # length is a separate compiled program on device, and remote
+            # compiles cost seconds — buckets bound that to ~log2(n*m)
+            cap = min(keys_d.shape[0], 1 << max(14, (nseg - 1).bit_length()))
+            k = np.asarray(keys_d[:cap])[:nseg].astype(np.int64)
             vox = np.stack([k >> 20, (k >> 10) & 0x3FF, k & 0x3FF], 1) + bmin
             key_parts.append(_pack_keys(vox))
-            alpha_parts.append(expand(np.asarray(alpha_d[:nseg])))
+            alpha_parts.append(expand(np.asarray(alpha_d[:cap])[:nseg]))
 
         for lo in range(0, len(pos32), chunk):
             emit(lo, min(lo + chunk, len(pos32)))
