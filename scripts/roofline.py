@@ -6,11 +6,21 @@ static shapes, then times the paths and reports achieved throughput as a
 fraction of the governing roof. This answers "is it fast?" (vs the machine),
 not just "is it faster?" (vs the reference GPU — bench.py's job).
 
-Methodology: every measurement runs ITERS data-dependent repetitions inside
-ONE jitted lax.fori_loop (each iteration consumes the previous one's
-output), so a single dispatch + block_until_ready brackets real device
-time. Per-call timing over the remote-TPU tunnel measures dispatch, not
-execution — chained-loop numbers here supersede any per-call numbers.
+Methodology (what this environment actually requires, verified empirically):
+  * On the remote-TPU ("axon") platform `block_until_ready` does NOT wait
+    for device execution — re-running a jitted fn on the same inputs
+    returns in ~0.1 ms regardless of the work inside. Only a device->host
+    fetch of a value that data-depends on the computation synchronizes.
+  * Every fetch pays one tunnel round trip (~25-130 ms), which would bury
+    sub-ms kernels.
+So every measurement (a) chains ITERS data-dependent repetitions inside one
+jitted lax.fori_loop, (b) perturbs the inputs per repetition so no caching
+layer can elide the execution, (c) fetches a scalar that depends on the
+final iterate, and (d) reports the DIFFERENCE between a long and a short
+chain, which cancels the round trip and any constant dispatch overhead.
+Sanity anchor: this measures the MXU at ~185 TF/s bf16, consistent with the
+v5e generation's public peak (~197 TF/s), where naive per-call timing
+reports an impossible 12 PF/s.
 
 Paths profiled at bench scale (N = M = 16384, geometric KITTI preset):
   * ELL consume iteration  (neighbors.flow_stats_ell + step_coeffs_ell)
@@ -42,18 +52,24 @@ from unified_cvo_tpu.ops import pallas_kernels as pk  # noqa: E402
 from unified_cvo_tpu.utils.pointcloud import make_pointcloud  # noqa: E402
 
 
-def timed(fn, *args, reps=3):
-    """Wall time of one call of an already-jitted fn (which internally
-    chains its iterations); min over reps, first call excluded (compile)."""
-    out = fn(*args)
-    jax.block_until_ready(out)
+def timed_fetch(fn, args_fn, reps=3):
+    """Min wall time of fn(*args_fn(rep)) -> scalar fetch, first (compile)
+    call excluded. args_fn must return distinct inputs per rep."""
+    float(fn(*args_fn(-1)))  # compile + warm
     best = np.inf
-    for _ in range(reps):
+    for r in range(reps):
+        args = args_fn(r)
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        float(fn(*args))
         best = min(best, time.perf_counter() - t0)
-    return best, out
+    return best
+
+
+def per_iter(make_chain, args_fn, it_small, it_big, reps=3):
+    """Seconds per chain iteration via the long-minus-short difference."""
+    t_s = timed_fetch(make_chain(it_small), args_fn, reps)
+    t_b = timed_fetch(make_chain(it_big), args_fn, reps)
+    return max(t_b - t_s, 1e-12) / (it_big - it_small)
 
 
 # ------------------------------------------------- machine ceilings (measured)
@@ -61,53 +77,79 @@ def timed(fn, *args, reps=3):
 
 def measure_peaks():
     peaks = {}
+    s = 2048
 
-    # MXU bf16: chained b <- normalize(a @ b), one dispatch
-    s, M_IT = 2048, 64
+    a_mm = jax.random.normal(jax.random.PRNGKey(0), (s, s), jnp.bfloat16) * 0.02
+    b_mm = jax.random.normal(jax.random.PRNGKey(1), (s, s), jnp.bfloat16)
 
-    @jax.jit
-    def mm_chain(a, b):
-        def body(i, b):
-            c = jnp.dot(a, b, preferred_element_type=jnp.float32)
-            return (c * (1.0 / s)).astype(jnp.bfloat16)
-        return lax.fori_loop(0, M_IT, body, b)
+    def make_mm(it):
+        @jax.jit
+        def run(a, b):
+            def body(i, b):
+                c = jnp.dot(a, b, preferred_element_type=jnp.float32)
+                n = jnp.sqrt(jnp.mean(c * c) + 1e-9)
+                return (c / n).astype(jnp.bfloat16)
+            return jnp.sum(lax.fori_loop(0, it, body, b).astype(jnp.float32))
+        return run
 
-    a = jnp.ones((s, s), jnp.bfloat16)
-    b = jnp.ones((s, s), jnp.bfloat16)
-    t, _ = timed(mm_chain, a, b)
-    peaks["mxu_bf16_tflops"] = 2 * s**3 * M_IT / t / 1e12
+    t = per_iter(make_mm, lambda r: (a_mm, b_mm * (1.0 + 1e-6 * (r + 2))),
+                 64, 512)
+    peaks["mxu_bf16_tflops"] = 2 * s**3 / t / 1e12
 
-    # VPU f32 FMA: chained x <- x*c + d, 2 flops/elem/stage
-    m, F_IT = 1 << 22, 256
+    # VPU f32: each fori_loop stage applies UNROLL unrollable *nonlinear*
+    # steps (x + x*x*c: 3 flops, not algebraically foldable the way an
+    # affine chain is), fused by XLA into one elementwise kernel — so the
+    # stage is compute-bound (AI ~ 48 f/byte), unlike a bare FMA chain
+    # whose 0.25 f/byte makes it an HBM benchmark in disguise.
+    m = 1 << 22
+    x0 = jnp.linspace(0.5, 1.5, m, dtype=jnp.float32)
+    UNROLL = 128
 
-    @jax.jit
-    def fma_chain(x, c):
-        return lax.fori_loop(0, F_IT, lambda i, x: x * c + 1e-7, x)
+    def make_vpu(it):
+        @jax.jit
+        def run(x, c):
+            def body(i, x):
+                for j in range(UNROLL):
+                    x = x + x * x * (c if j % 2 == 0 else -c)
+                return x
+            return jnp.sum(lax.fori_loop(0, it, body, x))
+        return run
 
-    x = jnp.linspace(0.5, 1.5, m, dtype=jnp.float32)
-    t, _ = timed(fma_chain, x, jnp.float32(0.9999))
-    peaks["vpu_f32_fma_tflops"] = 2 * F_IT * m / t / 1e12
+    t = per_iter(make_vpu,
+                 lambda r: (x0 * (1.0 + 1e-7 * (r + 2)), jnp.float32(1e-4)),
+                 16, 128)
+    peaks["vpu_f32_fma_tflops"] = 3 * UNROLL * m / t / 1e12
 
-    # exp throughput (the kernel's transcendental)
-    E_IT = 64
+    # exp throughput (the kernel's transcendental), same unrolled-stage trick
+    E_UNROLL = 16
 
-    @jax.jit
-    def exp_chain(x, c):
-        return lax.fori_loop(0, E_IT, lambda i, x: jnp.exp(-x) + c, x)
+    def make_exp(it):
+        @jax.jit
+        def run(x, c):
+            def body(i, x):
+                for _ in range(E_UNROLL):
+                    x = jnp.exp(-x) + c
+                return x
+            return jnp.sum(lax.fori_loop(0, it, body, x))
+        return run
 
-    t, _ = timed(exp_chain, x, jnp.float32(0.1))
-    peaks["exp_gops"] = E_IT * m / t / 1e9
+    t = per_iter(make_exp,
+                 lambda r: (x0 * (1.0 + 1e-7 * (r + 2)), jnp.float32(0.1)),
+                 16, 128)
+    peaks["exp_gops"] = E_UNROLL * m / t / 1e9
 
     # HBM stream: chained x <- x + 1 on a 256 MB array (read + write)
-    big = jnp.ones((1 << 26,), jnp.float32)
-    B_IT = 16
+    big = jnp.linspace(0.0, 1.0, 1 << 26, dtype=jnp.float32)
 
-    @jax.jit
-    def stream_chain(x):
-        return lax.fori_loop(0, B_IT, lambda i, x: x + 1.0, x)
+    def make_stream(it):
+        @jax.jit
+        def run(x):
+            return jnp.sum(lax.fori_loop(0, it, lambda i, x: x + 1.0, x))
+        return run
 
-    t, _ = timed(stream_chain, big)
-    peaks["hbm_stream_gbs"] = 2 * big.size * 4 * B_IT / t / 1e9
+    t = per_iter(make_stream, lambda r: (big * (1.0 + 1e-7 * (r + 2)),),
+                 8, 64)
+    peaks["hbm_stream_gbs"] = 2 * big.size * 4 / t / 1e9
     return peaks
 
 
@@ -162,51 +204,57 @@ def main():
     xyz2 = np.asarray(xyz @ np.asarray(R_m).T + np.asarray(t_m))
     src = make_pointcloud(xyz, bucket=n)
     tgt = make_pointcloud(xyz2, bucket=n)
-    ell0 = jnp.float32(params.ell_init)
+    ell0 = float(params.ell_init)
     Rinv, Tinv = lie.invert_rt(jnp.asarray(R_m), jnp.asarray(t_m))
     K = nbr.DEFAULT_K
-    B_IT = 20
+
+    def ell_arg(r):
+        return jnp.float32(ell0 * (1.0 + 1e-5 * (r + 2)))
 
     # ---- ELL builds (chained: ell perturbed by the previous overflow)
-    def chain_build(build):
-        @jax.jit
-        def run(ell):
-            def body(i, carry):
-                ell, acc = carry
-                nl = build(ell)
-                return (ell + 1e-12 * nl.y_xyz[0, 0, 0], acc + nl.overflow)
-            return lax.fori_loop(0, B_IT, body, (ell, jnp.int32(0)))
-        return run
+    def make_build_chain(build):
+        def make(it):
+            @jax.jit
+            def run(ell):
+                def body(i, carry):
+                    ell, acc = carry
+                    nl = build(ell)
+                    return (ell + 1e-12 * nl.y_xyz[0, 0, 0],
+                            acc + nl.overflow)
+                ell, acc = lax.fori_loop(0, it, body, (ell, jnp.int32(0)))
+                return ell + acc.astype(jnp.float32)
+            return run
+        return make
 
-    t_bg, _ = timed(chain_build(
+    t_bg = per_iter(make_build_chain(
         lambda e: nbr.build_neighbor_list(params, e, src, tgt, Rinv, Tinv)),
-        ell0)
-    t_bs, _ = timed(chain_build(
+        lambda r: (ell_arg(r),), 4, 24)
+    t_bs = per_iter(make_build_chain(
         lambda e: nbr.build_neighbor_list_scan(params, e, src, tgt, Rinv,
-                                               Tinv)), ell0)
-    t_bg /= B_IT
-    t_bs /= B_IT
+                                               Tinv)),
+        lambda r: (ell_arg(r),), 2, 8)
     print(f"\ngrid build: {t_bg*1e3:.2f} ms   scan build: {t_bs*1e3:.2f} ms "
           f"(= {t_bs/t_bg:.1f}x grid; amortized over iterations between "
           f"drift rebuilds)", flush=True)
 
     # ---- ELL consume iteration (chained through ell)
     nl = jax.jit(lambda e: nbr.build_neighbor_list(
-        params, e, src, tgt, Rinv, Tinv))(ell0)
-    jax.block_until_ready(nl)
-    C_IT = 50
+        params, e, src, tgt, Rinv, Tinv))(jnp.float32(ell0))
 
-    @jax.jit
-    def ell_chain(ell, nl):
-        def body(i, ell):
-            stats, a, yts = nbr.flow_stats_ell(params, ell, src, nl, Rinv, Tinv)
-            twist, _ = kernels.flow_from_stats(params, src, stats)
-            B, C, D, E = nbr.step_coeffs_ell(params, ell, src, a, yts, twist)
-            return ell + 1e-12 * (B + C + D + E)
-        return lax.fori_loop(0, C_IT, body, ell)
+    def make_ell_chain(it):
+        @jax.jit
+        def run(ell, nl):
+            def body(i, ell):
+                stats, a, yts = nbr.flow_stats_ell(params, ell, src, nl,
+                                                   Rinv, Tinv)
+                twist, _ = kernels.flow_from_stats(params, src, stats)
+                B, C, D, E = nbr.step_coeffs_ell(params, ell, src, a, yts,
+                                                 twist)
+                return ell + 1e-12 * (B + C + D + E)
+            return lax.fori_loop(0, it, body, ell)
+        return run
 
-    t_ell, _ = timed(ell_chain, ell0, nl)
-    t_ell /= C_IT
+    t_ell = per_iter(make_ell_chain, lambda r: (ell_arg(r), nl), 50, 400)
     ec = ell_consume_counts(n, K)
     ell_tf = ec["flops"] / t_ell / 1e12
     ell_gb = ec["bytes"] / t_ell / 1e9
@@ -229,23 +277,26 @@ def main():
         x_lo, x_hi = jax.jit(
             lambda c: morton.tile_aabbs(c.xyz, c.mask, ti))(srcp)
         y_t = jax.jit(lambda c: c.transformed(Rinv, Tinv))(tgtp)
-        jax.block_until_ready(y_t)
-        D_IT = 20
 
-        @jax.jit
-        def dense_chain(ell, y_t):
-            def body(i, ell):
-                y_lo, y_hi = morton.tile_aabbs(y_t.xyz, y_t.mask, tj)
-                d2max = morton.tile_d2max(params, ell, srcp.xyz, srcp.mask, ti)
-                mask = morton.tile_cull_mask(x_lo, x_hi, d2max, y_lo, y_hi)
-                comp = pk.compact_tile_mask(mask)
-                stats = pk.flow_stats_pallas(params, ell, srcp, y_t,
-                                             compaction=comp)
-                twist, _ = kernels.flow_from_stats(params, srcp, stats)
-                B, C, D, E = pk.step_coeffs_pallas(params, ell, srcp, y_t,
-                                                   twist, compaction=comp)
-                return ell + 1e-12 * (B + C + D + E)
-            return lax.fori_loop(0, D_IT, body, ell)
+        def make_dense_chain(it):
+            @jax.jit
+            def run(ell, y_t):
+                def body(i, ell):
+                    y_lo, y_hi = morton.tile_aabbs(y_t.xyz, y_t.mask, tj)
+                    d2max = morton.tile_d2max(params, ell, srcp.xyz,
+                                              srcp.mask, ti)
+                    mask = morton.tile_cull_mask(x_lo, x_hi, d2max, y_lo,
+                                                 y_hi)
+                    comp = pk.compact_tile_mask(mask)
+                    stats = pk.flow_stats_pallas(params, ell, srcp, y_t,
+                                                 compaction=comp)
+                    twist, _ = kernels.flow_from_stats(params, srcp, stats)
+                    B, C, D, E = pk.step_coeffs_pallas(params, ell, srcp,
+                                                       y_t, twist,
+                                                       compaction=comp)
+                    return ell + 1e-12 * (B + C + D + E)
+                return lax.fori_loop(0, it, body, ell)
+            return run
 
         @jax.jit
         def density(ell, y_t):
@@ -254,9 +305,9 @@ def main():
             mask = morton.tile_cull_mask(x_lo, x_hi, d2max, y_lo, y_hi)
             return jnp.mean(mask.astype(jnp.float32))
 
-        dens = float(density(ell0, y_t))
-        t_dense, _ = timed(dense_chain, ell0, y_t)
-        t_dense /= D_IT
+        dens = float(density(jnp.float32(ell0), y_t))
+        t_dense = per_iter(make_dense_chain, lambda r: (ell_arg(r), y_t),
+                           5, 25)
         dc = dense_pass_counts(srcp.capacity, tgtp.capacity, dens)
         dtf = dc["flops"] / t_dense / 1e12
         dexp = dc["transc"] / t_dense / 1e9
