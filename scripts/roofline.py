@@ -267,6 +267,30 @@ def main():
           f"({ell_gb/peaks['hbm_stream_gbs']:.0%} of HBM stream roof)",
           flush=True)
 
+    # ---- fused Pallas ELL consume (accelerator only: Mosaic interpreter
+    # on CPU is orders slower)
+    if jax.default_backend() != "cpu":
+        from unified_cvo_tpu.ops import pallas_ell as pe
+
+        def make_fused_chain(it):
+            @jax.jit
+            def run(ell, nl):
+                def body(i, ell):
+                    stats = pe.flow_stats_ell_fused(params, ell, src, nl,
+                                                    Rinv, Tinv)
+                    twist, _ = kernels.flow_from_stats(params, src, stats)
+                    B, C, D, E = pe.step_coeffs_ell_fused(
+                        params, ell, src, nl, Rinv, Tinv, twist)
+                    return ell + 1e-12 * (B + C + D + E)
+                return lax.fori_loop(0, it, body, ell)
+            return run
+
+        t_f = per_iter(make_fused_chain, lambda r: (ell_arg(r), nl), 50, 400)
+        fb = n * K * 4 * 4  # y_xyz x2 passes read once each + x rows
+        print(f"\nfused ELL consume iteration: {t_f*1e3:.3f} ms "
+              f"({t_ell/t_f:.2f}x the jnp passes; ~{fb/1e6:.0f} MB streamed "
+              f"-> {fb/t_f/1e9:.0f} GB/s of the reduced traffic)", flush=True)
+
     # ---- dense tiled Pallas iteration (with culling) — accelerator only
     if jax.default_backend() != "cpu":
         ti, tj = pk.DEFAULT_TILE_I, pk.DEFAULT_TILE_J

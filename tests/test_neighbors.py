@@ -47,7 +47,7 @@ def test_candidate_list_superset_of_support(rng):
     assert int(nl.overflow) == 0
 
     a_dense = np.asarray(kernels.kernel_block(params, ell, src, tgt))
-    idx = np.asarray(nl.idx)
+    idx = np.asarray(nl.idx).T                               # K-major -> [N,K]
     listed = np.zeros_like(a_dense, dtype=bool)
     rows = np.repeat(np.arange(idx.shape[0]), idx.shape[1])
     cols = idx.reshape(-1)
@@ -171,7 +171,10 @@ def test_align_scan_large_support_small_cloud(rng):
     T2, r2, i2 = align(src, tgt, ig, params, backend="ell", max_iter=250,
                        nl_k=640, nl_builder="scan")
     assert int(i2.nl_overflow) == 0
-    assert float(jnp.max(jnp.abs(T1 - T2))) < 2e-3
+    # identical math modulo f32 summation order (the K-major layout reduces
+    # over sublanes); 250 gradient-flow iterations at ell=3 amplify the
+    # reassociation to a few mm of translation
+    assert float(jnp.max(jnp.abs(T1 - T2))) < 8e-3
 
 
 def test_align_scan_no_geometry_channel(rng):
@@ -195,6 +198,69 @@ def test_align_scan_no_geometry_channel(rng):
     assert int(i2.nl_rebuilds) == 1  # pose-independent kernel: one build
     assert int(i2.nl_overflow) == 0
     assert float(jnp.max(jnp.abs(T1 - T2))) < 2e-3
+
+
+# ---------------------------------------------- fused Pallas consume passes
+
+
+def test_fused_ell_consume_matches_jnp(rng):
+    """ops/pallas_ell.py flow/step kernels (interpret mode) == the jnp ELL
+    passes, including the dead-slot +BIG-coordinate gating."""
+    from unified_cvo_tpu.ops import pallas_ell as pe
+
+    params = _params()
+    xyz = _scene(rng, n=400)                   # bucket pads -> dead slots
+    xi = np.array([0.002, 0.005, -0.001, 0.05, 0.02, 0.4], np.float32)
+    R_m, t_m = lie.se3_exp(jnp.asarray(xi), 1.0)
+    xyz2 = np.asarray(xyz @ np.asarray(R_m).T + np.asarray(t_m))
+    src = make_pointcloud(xyz, bucket=512)
+    tgt = make_pointcloud(xyz2, bucket=512)
+    Rinv, Tinv = lie.invert_rt(jnp.asarray(R_m), jnp.asarray(t_m))
+    ell = jnp.float32(params.ell_init)
+    nl = nbr.build_neighbor_list(params, ell, src, tgt, Rinv, Tinv,
+                                 k=64, skin=0.3, per_cell_cap=24)
+    ref, a, yts = nbr.flow_stats_ell(params, ell, src, nl, Rinv, Tinv)
+    got = pe.flow_stats_ell_fused(params, ell, src, nl, Rinv, Tinv,
+                                  tile_n=256, interpret=True)
+    assert int(got.nonzeros) == int(ref.nonzeros)
+    np.testing.assert_allclose(got.a_sum, ref.a_sum, rtol=1e-5)
+    np.testing.assert_allclose(got.row_sum, ref.row_sum, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got.row_wy, ref.row_wy, rtol=1e-4, atol=1e-5)
+
+    twist, _ = kernels.flow_from_stats(params, src, ref)
+    B0, C0, D0, E0 = nbr.step_coeffs_ell(params, ell, src, a, yts, twist)
+    B1, C1, D1, E1 = pe.step_coeffs_ell_fused(
+        params, ell, src, nl, Rinv, Tinv, twist, tile_n=256, interpret=True)
+    # per-tile partial sums reassociate the f32 reductions
+    for r, g in zip((B0, C0, D0, E0), (B1, C1, D1, E1)):
+        np.testing.assert_allclose(g, r, rtol=1e-3, atol=1e-4)
+    for v in (got.row_sum, jnp.asarray([B1, C1, D1, E1])):
+        assert bool(jnp.all(jnp.isfinite(v)))
+
+
+def test_fused_ell_align_trajectory(rng):
+    """Full align with nl_consume='fused_interpret' tracks the jnp consume
+    trajectory."""
+    params = _params()
+    xyz = _scene(rng, n=1024)
+    xi = np.array([0.001, 0.004, -0.002, 0.03, 0.01, 0.3], np.float32)
+    R_m, t_m = lie.se3_exp(jnp.asarray(xi), 1.0)
+    xyz2 = np.asarray(xyz @ np.asarray(R_m).T + np.asarray(t_m))
+    src = make_pointcloud(xyz, bucket=1024)
+    tgt = make_pointcloud(xyz2, bucket=1024)
+    ig = lie.rt_to_mat44(*lie.se3_exp(jnp.asarray(xi * 0.2), 1.0))
+    T1, r1, i1 = align(src, tgt, ig, params, backend="ell", max_iter=120,
+                       nl_k=160, nl_per_cell=20, nl_builder="grid",
+                       nl_consume="jnp")
+    T2, r2, i2 = align(src, tgt, ig, params, backend="ell", max_iter=120,
+                       nl_k=160, nl_per_cell=20, nl_builder="grid",
+                       nl_consume="fused_interpret")
+    assert int(i2.iterations) == int(i1.iterations)
+    # per-tile reassociation perturbs each step by ~1e-4 relative; over a
+    # hundred gradient-flow iterations the two trajectories settle anywhere
+    # within the convergence basin (~1e-2) — the tight per-pass agreement
+    # lives in test_fused_ell_consume_matches_jnp
+    assert float(jnp.max(jnp.abs(T1 - T2))) < 2e-2
 
 
 def test_irls_edge_moments_ell_matches_dense(rng):

@@ -96,7 +96,7 @@ def _stats_fns(backend: str, chunk: int, tile_i=None, tile_j=None):
     static_argnames=(
         "params", "record_history", "chunk", "max_iter", "backend",
         "adaptive_ell", "spatial_culling", "tile_i", "tile_j",
-        "nl_k", "nl_skin", "nl_per_cell", "nl_builder",
+        "nl_k", "nl_skin", "nl_per_cell", "nl_builder", "nl_consume",
         "psum_axis", "ring_axis",
     ),
 )
@@ -117,6 +117,7 @@ def align(
     nl_skin: Optional[float] = None,
     nl_per_cell: Optional[int] = None,
     nl_builder: Optional[str] = None,
+    nl_consume: Optional[str] = None,
     psum_axis: Optional[str] = None,
     ring_axis: Optional[str] = None,
 ):
@@ -247,6 +248,48 @@ def align(
         nl_skin = nbr.DEFAULT_SKIN if nl_skin is None else nl_skin
         nl_per_cell = nbr.PER_CELL_CAP if nl_per_cell is None else nl_per_cell
 
+        # consume-pass engine: the fused Pallas kernels read the candidate
+        # coordinates once per pass and keep the kernel matrix in VMEM
+        # (~4 HBM streams/iteration instead of ~16 — the jnp passes run at
+        # 97% of the stream roof, so fewer bytes is the only speedup left).
+        # jnp remains the CPU path (Mosaic's CPU interpreter is slow) and
+        # the parity oracle.
+        from unified_cvo_tpu.ops import pallas_ell as pe
+
+        def _pick_tile(cap_limit):
+            t = min(cap_limit, source.capacity)
+            while t >= 128:
+                if source.capacity % t == 0 and t % 128 == 0:
+                    return t
+                t //= 2
+            return None
+
+        fused_flow_tile = _pick_tile(pe.DEFAULT_FLOW_TILE_N)
+        fused_step_tile = _pick_tile(pe.DEFAULT_STEP_TILE_N)
+        fused_ok = (
+            fused_flow_tile is not None
+            and fused_step_tile is not None
+            and nl_k % 8 == 0
+            and bool(params.is_using_geometry or has_rank_channel)
+        )
+        if nl_consume is None or nl_consume == "auto":
+            use_fused_ell = fused_ok and jax.default_backend() != "cpu"
+        elif nl_consume == "fused":
+            if not fused_ok:
+                raise ValueError(
+                    "nl_consume='fused' needs capacity divisible by a "
+                    "128-multiple tile and nl_k % 8 == 0")
+            use_fused_ell = True
+        elif nl_consume == "fused_interpret":
+            if not fused_ok:
+                raise ValueError("fused interpret: unsupported shapes")
+            use_fused_ell = True
+        elif nl_consume == "jnp":
+            use_fused_ell = False
+        else:
+            raise ValueError(f"unknown nl_consume={nl_consume!r}")
+        fused_interp = nl_consume == "fused_interpret"
+
     # spatial tile culling (Pallas backends only): Morton-sort both clouds
     # once so tiles are spatially compact, then per iteration cull
     # (source-tile x target-tile) pairs beyond the kernel support (the
@@ -332,12 +375,22 @@ def align(
             # these [N,K] chains well, and the per-iteration floor is the
             # scalar glue (indicator/poly/lie ops), not the slot math
             nl = body.nl
-            stats, a_ell, y_t_slots = nbr.flow_stats_ell(
-                params, c.ell, source, nl, Rinv, Tinv)
-            twist, joint_norm = kernels.flow_from_stats(
-                params, source, stats)
-            B, C, D, E = nbr.step_coeffs_ell(
-                params, c.ell, source, a_ell, y_t_slots, twist)
+            if use_fused_ell:
+                stats = pe.flow_stats_ell_fused(
+                    params, c.ell, source, nl, Rinv, Tinv,
+                    tile_n=fused_flow_tile, interpret=fused_interp)
+                twist, joint_norm = kernels.flow_from_stats(
+                    params, source, stats)
+                B, C, D, E = pe.step_coeffs_ell_fused(
+                    params, c.ell, source, nl, Rinv, Tinv, twist,
+                    tile_n=fused_step_tile, interpret=fused_interp)
+            else:
+                stats, a_ell, y_t_slots = nbr.flow_stats_ell(
+                    params, c.ell, source, nl, Rinv, Tinv)
+                twist, joint_norm = kernels.flow_from_stats(
+                    params, source, stats)
+                B, C, D, E = nbr.step_coeffs_ell(
+                    params, c.ell, source, a_ell, y_t_slots, twist)
         else:
             comp = prep_fn(params, c.ell, source, y_t)
             stats = flow_fn(params, c.ell, source, y_t, comp)

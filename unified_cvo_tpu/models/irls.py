@@ -125,9 +125,9 @@ def _edge_moments_single_ell(params, ell, c1: PointCloud, c2: PointCloud,
     h1 = _homog(c1.xyz)                                     # [N,4] original
     rs = stats.row_sum
     P11 = kernels._mm((h1 * rs[:, None]).T, h1)
-    # a_h2[:, p] = sum_k a * h2_p (h2 = [raw y; 1]) — lane-aligned [N,K] sums
+    # a_h2[:, p] = sum_k a * h2_p (h2 = [raw y; 1]) — K-major [K,N] sums
     ah2 = jnp.stack(
-        [jnp.sum(a * nl.y_xyz[c], axis=1) for c in range(3)] + [rs], axis=-1)
+        [jnp.sum(a * nl.y_xyz[c], axis=0) for c in range(3)] + [rs], axis=-1)
     P12 = kernels._mm(h1.T, ah2)
     # P22[p,q] = sum_slots a * h2_p h2_q, 10 unique entries
     h2 = (nl.y_xyz[0], nl.y_xyz[1], nl.y_xyz[2], None)      # None = the 1 row

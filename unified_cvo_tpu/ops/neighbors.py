@@ -51,6 +51,12 @@ from unified_cvo_tpu.utils.pointcloud import PointCloud
 
 DEFAULT_K = 96
 DEFAULT_SKIN = 0.5
+# dead-slot coordinate sentinel: far enough that any gate distance is
+# astronomically large (squared: 3e18, comfortably finite in f32) — lets
+# the fused Pallas consume path (ops/pallas_ell.py) skip the validity
+# stream entirely; the jnp passes still use nl.valid and multiply the
+# sentinel by an exact-zero kernel value (0 * finite = 0)
+DEAD_COORD = 1e9
 GRID_DIMS = (64, 32, 64)      # static voxel grid (131072 cells)
 PER_CELL_CAP = 8              # targets stored per cell before the exact filter
 #   (cell edge >= support+skin holds ~1 candidate on average; 8 absorbs
@@ -63,15 +69,19 @@ PER_CELL_CAP = 8              # targets stored per cell before the exact filter
 class NeighborList(NamedTuple):
     """Static-shape candidate list + gathered raw target fields.
 
-    Per-candidate fields are stored component-major ([3, N, K], not
-    [N, K, 3]) so the K axis — a full 128-lane tile — is minor-most: a
-    trailing size-3 axis would land in the TPU lane dimension and waste
-    ~40x of every VPU op over these arrays."""
+    Per-candidate fields are K-MAJOR ([K, N], components leading: [3, K, N])
+    — the N axis sits in the TPU lane dimension. Two reasons, both measured:
+    a trailing size-3 axis would land 3 of 128 lanes (~40x waste on every
+    VPU op), and an [N, K] layout with K=96 pads the minor dim to 128 in
+    the f32 (8, 128) tiled layout, silently streaming 33% more HBM bytes
+    per consume iteration than the logical arrays. With N on lanes
+    (a multiple of 128 for any realistic bucket) the physical footprint
+    equals the logical one and the hot-loop reductions run over sublanes."""
 
-    idx: jax.Array                    # [N, K] int32 target index, -1 pad
-    valid: jax.Array                  # [N, K] bool
-    y_xyz: jax.Array                  # [3, N, K] RAW (untransformed) target xyz
-    chan: Optional[jax.Array]         # [N, K] pose-INDEPENDENT kernel factor:
+    idx: jax.Array                    # [K, N] int32 target index, -1 pad
+    valid: jax.Array                  # [K, N] bool
+    y_xyz: jax.Array                  # [3, K, N] RAW (untransformed) target xyz
+    chan: Optional[jax.Array]         # [K, N] pose-INDEPENDENT kernel factor:
     #   the product of the color/semantic/geometric-type kernels with their
     #   gates folded in as exact zeros, or None when only the geometric
     #   channel is on. Features/labels/geo-types never move with the pose,
@@ -234,11 +244,14 @@ def build_neighbor_list(
     d2_s, cand_s, yx, yy, yz = lax.sort(
         (d2_key, cand, yc_raw_c[0], yc_raw_c[1], yc_raw_c[2]),
         dimension=1, num_keys=1)
-    valid = jnp.isfinite(d2_s[:, :k])
-    idx = jnp.where(valid, cand_s[:, :k], -1)
+    # one transpose to the K-major consume layout (built once per frame,
+    # consumed ~100 iterations)
+    valid = jnp.isfinite(d2_s[:, :k]).T                      # [K, N]
+    idx = jnp.where(valid, cand_s[:, :k].T, -1)
     y_xyz = jnp.where(
         valid[None],
-        jnp.stack([yx[:, :k], yy[:, :k], yz[:, :k]], axis=0), 0.0)
+        jnp.stack([yx[:, :k].T, yy[:, :k].T, yz[:, :k].T], axis=0),
+        DEAD_COORD)
     overflow = (jnp.sum(keep) - jnp.sum(valid)).astype(jnp.int32) + \
         per_cell_dropped.astype(jnp.int32)
 
@@ -255,14 +268,15 @@ def build_neighbor_list(
 
 def _gather_slots(a, idx):
     """Per-candidate extra fields (intensity/semantics/geo-type runs):
-    one [N*K]-index row gather of the target array in its compact
-    [N*K, F] layout, then ONE transpose to component-major [F, N, K]
-    (gathering straight into [N, K, F] would poison the gather with a
-    minor-dim-F tiled layout; see the table-layout note above)."""
+    one flat-index row gather of the target array in its compact
+    [K*N, F] layout, then ONE transpose to component-major [F, K, N]
+    (gathering straight into [K, N, F] would poison the gather with a
+    minor-dim-F tiled layout; see the table-layout note above).
+    `idx` is K-major [K, N]."""
     if a is None:
         return None
     flat = jnp.where(idx >= 0, idx, 0).reshape(-1)
-    g = a[flat]                                             # [N*K, F] compact
+    g = a[flat]                                             # [K*N, F] compact
     return g.T.reshape(a.shape[1], idx.shape[0], idx.shape[1])
 
 
@@ -346,10 +360,10 @@ def build_neighbor_list_scan(
     init = (jnp.full((N, k), jnp.inf, f32), jnp.full((N, k), -1, jnp.int32),
             jnp.zeros((), jnp.int32))
     key, idx, nkeep = lax.fori_loop(0, nchunks, body, init)
-    valid = jnp.isfinite(key)
-    idx = jnp.where(valid, idx, -1)
+    valid = jnp.isfinite(key).T                              # [K, N]
+    idx = jnp.where(valid, idx.T, -1)
     overflow = nkeep - jnp.sum(valid).astype(jnp.int32)
-    y_xyz = jnp.where(valid[None], _gather_slots(tgt.xyz, idx), 0.0)
+    y_xyz = jnp.where(valid[None], _gather_slots(tgt.xyz, idx), DEAD_COORD)
     chan = _build_chan(params, x, tgt, idx, valid)
     return NeighborList(
         idx=idx,
@@ -365,19 +379,21 @@ def _channel_kernel(params, x: PointCloud, valid, y_feat, y_label, y_geo):
     """Pose-independent kernel factor per slot (build-time only): the
     color/semantic kernels and the geometric-type cosine^2 gate of
     fill_in_A_mat_gpu (CvoGPU.cu:477-593) with their distance gates folded
-    in as exact zeros. Returns [N, K] or None when no such channel is on."""
+    in as exact zeros. Returns K-major [K, N] or None when no such channel
+    is on (valid and the y_* slot arrays are K-major; x columns broadcast
+    along sublanes)."""
     f32 = jnp.float32
     sp = f32(params.sp_thres)
     a = None
     ok = valid
 
     def col(arr, c):
-        return arr[:, c, None]
+        return arr[:, c][None, :]
 
     if params.is_using_geometric_type:
         xg = x.geometric_types
         dot = col(xg, 0) * y_geo[0] + col(xg, 1) * y_geo[1]
-        n2 = (jnp.sum(xg * xg, -1)[:, None]) * (
+        n2 = (jnp.sum(xg * xg, -1)[None, :]) * (
             y_geo[0] * y_geo[0] + y_geo[1] * y_geo[1])
         geo = dot * dot / jnp.maximum(n2, 1e-12)
         ok &= geo >= 0.01
@@ -421,10 +437,10 @@ def drift_exceeded(nl: NeighborList, target: PointCloud, R_inv, T_inv,
 
 
 def kernel_slots(params, ell, x: PointCloud, y_t_slots, nl: NeighborList):
-    """[N, K] kernel values — slot-wise transcription of kernel_block
+    """[K, N] kernel values — slot-wise transcription of kernel_block
     (fill_in_A_mat_gpu, CvoGPU.cu:477-593) with identical gates; padded
-    slots are exactly 0. y_t_slots is component-major [3, N, K]; every
-    intermediate here is a lane-aligned [N, K] array.
+    slots are exactly 0. y_t_slots is component-major [3, K, N]; every
+    intermediate here is a lane-aligned [K, N] array (N on lanes).
 
     Only the geometric factor is evaluated here — the color/semantic/
     geometric-type factors are pose-independent and precomputed once per
@@ -432,15 +448,15 @@ def kernel_slots(params, ell, x: PointCloud, y_t_slots, nl: NeighborList):
     f32 = jnp.float32
     sp = f32(params.sp_thres)
     a = None
-    ok = nl.valid & (x.mask[:, None] > 0)
+    ok = nl.valid & (x.mask[None, :] > 0)
     if nl.chan is not None:
         ok &= nl.chan > 0
         a = nl.chan
 
     if params.is_using_geometry:
         sigma2 = f32(params.sigma) ** 2
-        d2 = sum((x.xyz[:, c, None] - y_t_slots[c]) ** 2 for c in range(3))
-        l_i = jnp_kernels.range_ell(ell, jnp.linalg.norm(x.xyz, axis=-1))[:, None]
+        d2 = sum((x.xyz[:, c][None, :] - y_t_slots[c]) ** 2 for c in range(3))
+        l_i = jnp_kernels.range_ell(ell, jnp.linalg.norm(x.xyz, axis=-1))[None, :]
         two_l2 = 2.0 * l_i * l_i
         ok &= d2 < -two_l2 * jnp.log(sp / sigma2)
         kgeo = sigma2 * jnp.exp(-d2 / two_l2)
@@ -453,10 +469,10 @@ def kernel_slots(params, ell, x: PointCloud, y_t_slots, nl: NeighborList):
 
 def flow_stats_ell(params, ell, x: PointCloud, nl: NeighborList, R_inv, T_inv
                    ) -> Tuple[jnp_kernels.FlowStats, jax.Array, jax.Array]:
-    """ELL flow pass. Returns (FlowStats, A [N,K], y_t_slots [3,N,K]); the
+    """ELL flow pass. Returns (FlowStats, A [K,N], y_t_slots [3,K,N]); the
     caller hands A and y_t_slots to step_coeffs_ell so the kernel matrix is
     computed ONCE per iteration (the tiled path must recompute it)."""
-    yr = nl.y_xyz                                            # [3,N,K]
+    yr = nl.y_xyz                                            # [3,K,N]
     y_t_slots = jnp.stack(
         [yr[0] * R_inv[c, 0] + yr[1] * R_inv[c, 1]
          + yr[2] * R_inv[c, 2] + T_inv[c] for c in range(3)], axis=0)
@@ -467,8 +483,8 @@ def flow_stats_ell(params, ell, x: PointCloud, nl: NeighborList, R_inv, T_inv
     # kernel chain into every reduction — measured 178 us/iter of
     # reduce_sum, the whole loop's dominant cost
     a, y_t_slots = lax.optimization_barrier((a, y_t_slots))
-    s = jnp.sum(a, axis=1)
-    wy = jnp.stack([jnp.sum(a * y_t_slots[c], axis=1) for c in range(3)],
+    s = jnp.sum(a, axis=0)                                   # [N]
+    wy = jnp.stack([jnp.sum(a * y_t_slots[c], axis=0) for c in range(3)],
                    axis=-1)
     stats = jnp_kernels.FlowStats(
         row_sum=s,
@@ -483,15 +499,19 @@ def step_coeffs_ell(params, ell, x: PointCloud, a, y_t_slots, twist):
     """ELL step pass (compute_step_size_xi + compute_step_size_poly_coeff,
     CvoGPU.cu:953-1082) reusing the cached kernel matrix `a`.
 
-    All per-slot arrays are lane-aligned [N, K]; the 3-vector algebra is
-    unrolled per component (a trailing 3-axis would sit in the lane dim,
-    and batched [.,3]@[3,3] dot_generals lower to per-row tiny matmuls)."""
+    All per-slot arrays are lane-aligned K-major [K, N]; the 3-vector
+    algebra is unrolled per component (a trailing 3-axis would sit in the
+    lane dim, and batched [.,3]@[3,3] dot_generals lower to per-row tiny
+    matmuls)."""
     f32 = jnp.float32
     omega, v = twist[:3], twist[3:]
     W = lie.skew(omega)
     W2, W3 = W @ W, W @ W @ W
     W4 = W2 @ W2
-    y = y_t_slots                                            # [3,N,K]
+    # dead slots carry +DEAD_COORD coordinates; beta^4 of a 1e9-scale value
+    # overflows to inf and 0 * inf = NaN — zero them (a == 0 there, so no
+    # output changes)
+    y = [jnp.where(a > 0, y_t_slots[c], 0.0) for c in range(3)]  # 3 x [K,N]
 
     def lin(Mm, b):
         return [y[0] * Mm[c, 0] + y[1] * Mm[c, 1] + y[2] * Mm[c, 2] + b[c]
@@ -501,7 +521,7 @@ def step_coeffs_ell(params, ell, x: PointCloud, a, y_t_slots, twist):
     xi2z = lin(W2, W @ v)
     xi3z = lin(W3, W2 @ v)
     xi4z = lin(W4, W3 @ v)
-    diff = [x.xyz[:, c, None] - y[c] for c in range(3)]      # 3 x [N,K]
+    diff = [x.xyz[:, c][None, :] - y[c] for c in range(3)]   # 3 x [K,N]
     dot3 = lambda p, q: p[0] * q[0] + p[1] * q[1] + p[2] * q[2]
     d1 = dot3(diff, xiz)
     d2_ = dot3(diff, xi2z)
@@ -515,7 +535,7 @@ def step_coeffs_ell(params, ell, x: PointCloud, a, y_t_slots, twist):
         l_i = jnp_kernels.range_ell(ell, jnp.linalg.norm(x.xyz, axis=-1))
     else:
         l_i = jnp.full((x.capacity,), ell, f32)
-    coef = (1.0 / (2.0 * l_i * l_i))[:, None]
+    coef = (1.0 / (2.0 * l_i * l_i))[None, :]
 
     beta = -2.0 * coef * d1
     gamma = -coef * (normxiz2 + 2.0 * d2_)
