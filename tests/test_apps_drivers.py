@@ -319,6 +319,44 @@ def test_kitti_semantic_label_loading(semantic_kitti_lidar_dir):
     assert (labels[1024:] == 12).all()
 
 
+def test_local_mapping_driver(tmp_path):
+    """The L6/L7 driver (apps/local_mapping.py): online odometry +
+    keyframing + per-keyframe BKI fusion, and offline mapping along a
+    given trajectory, both on a rendered TUM sequence."""
+    from unified_cvo_tpu.apps import local_mapping
+    from unified_cvo_tpu.datasets.tum import write_tum_pose_row
+    from unified_cvo_tpu.utils import synth
+
+    d = str(tmp_path / "seq")
+    calib = synth.tum_calibration()
+    scene = synth.corridor_scene(5, half_width=2.5, floor_y=1.2,
+                                 ceil_y=-1.2, length=30.0)
+    traj = synth.corridor_trajectory(5, step=0.08, yaw_rate=0.015, bob=0.005)
+    synth.write_tum_sequence(d, scene, traj, calib)
+    params = "/root/reference/cvo_params/cvo_rgbd_params.yaml"
+
+    out = str(tmp_path / "on")
+    k, nkf, nvox = local_mapping.run_sequence(
+        d, params, out, max_frames=5, resolution=0.1, capacity=4096,
+        num_classes=3, keyframe_function_angle=0.99, log=lambda *a: None)
+    assert k == 5 and nkf >= 2 and nvox > 1000
+    m = np.load(out + "_map.npz")
+    assert m["centers"].shape == (nvox, 3)
+    assert np.isfinite(m["centers"]).all()
+    rows = np.loadtxt(out + "_traj.txt")
+    assert rows.shape == (5, 8)
+
+    gt = str(tmp_path / "gt.txt")
+    with open(gt, "w") as f:
+        for i, T in enumerate(traj):
+            write_tum_pose_row(f, f"{1000.0 + 0.1 * i:.4f}", T)
+    out2 = str(tmp_path / "off")
+    k2, nkf2, nvox2 = local_mapping.run_sequence(
+        d, params, out2, trajectory=gt, max_frames=5, resolution=0.1,
+        capacity=4096, num_classes=3, log=lambda *a: None)
+    assert k2 == 5 and nvox2 > 1000
+
+
 def test_kitti_lidar_odometry_semantic(semantic_kitti_lidar_dir, tmp_path):
     yaml = tmp_path / "sem_lidar.yaml"
     yaml.write_text(
