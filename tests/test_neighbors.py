@@ -238,6 +238,45 @@ def test_fused_ell_consume_matches_jnp(rng):
         assert bool(jnp.all(jnp.isfinite(v)))
 
 
+def test_fused_ell_consume_matches_jnp_with_channels(rng):
+    """The fused kernels' chan input (pose-independent intensity+semantic
+    kernel factor) must reproduce the jnp passes on a full multi-channel
+    config, including the geometric x channel product and sp gating."""
+    from unified_cvo_tpu.ops import pallas_ell as pe
+
+    params = _params(is_using_intensity=1, c_ell=0.5, c_sigma=1.0,
+                     is_using_semantics=1, s_ell=0.6, s_sigma=1.0)
+    n = 400
+    xyz = _scene(rng, n=n)
+    feats = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    labels = np.eye(4, dtype=np.float32)[rng.integers(0, 4, n)]
+    xi = np.array([0.002, 0.005, -0.001, 0.05, 0.02, 0.4], np.float32)
+    R_m, t_m = lie.se3_exp(jnp.asarray(xi), 1.0)
+    xyz2 = np.asarray(xyz @ np.asarray(R_m).T + np.asarray(t_m))
+    src = make_pointcloud(xyz, features=feats, labels=labels, bucket=512)
+    tgt = make_pointcloud(xyz2, features=feats, labels=labels, bucket=512)
+    Rinv, Tinv = lie.invert_rt(jnp.asarray(R_m), jnp.asarray(t_m))
+    ell = jnp.float32(params.ell_init)
+    nl = nbr.build_neighbor_list(params, ell, src, tgt, Rinv, Tinv,
+                                 k=64, skin=0.3, per_cell_cap=24)
+    assert nl.chan is not None
+    ref, a, yts = nbr.flow_stats_ell(params, ell, src, nl, Rinv, Tinv)
+    got = pe.flow_stats_ell_fused(params, ell, src, nl, Rinv, Tinv,
+                                  tile_n=256, interpret=True)
+    assert int(got.nonzeros) == int(ref.nonzeros)
+    np.testing.assert_allclose(got.a_sum, ref.a_sum, rtol=1e-5)
+    np.testing.assert_allclose(got.row_sum, ref.row_sum, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got.row_wy, ref.row_wy, rtol=1e-4, atol=1e-5)
+    twist, _ = kernels.flow_from_stats(params, src, ref)
+    B0, C0, D0, E0 = nbr.step_coeffs_ell(params, ell, src, a, yts, twist)
+    B1, C1, D1, E1 = pe.step_coeffs_ell_fused(
+        params, ell, src, nl, Rinv, Tinv, twist, tile_n=256, interpret=True)
+    # gates are bit-identical (nonzeros matched above); the coefficients
+    # carry cancelling sums, so per-tile reassociation shows up at ~1e-3
+    for r, g in zip((B0, C0, D0, E0), (B1, C1, D1, E1)):
+        np.testing.assert_allclose(g, r, rtol=3e-3, atol=1e-3)
+
+
 def test_fused_ell_align_trajectory(rng):
     """Full align with nl_consume='fused_interpret' tracks the jnp consume
     trajectory."""
