@@ -189,43 +189,33 @@ def build_neighbor_list(
     segment_start = jnp.where(first, jnp.arange(M, dtype=jnp.int32), 0)
     segment_start = lax.associative_scan(jnp.maximum, segment_start)
     rank = jnp.arange(M, dtype=jnp.int32) - segment_start   # rank within cell
+    tab = jnp.full((n_cells + 1, 4 * P), -1.0, f32)
     slot_ok = rank < P
+    scat_cell = jnp.where(slot_ok, key_sorted, n_cells)
     scat_rank = jnp.where(slot_ok, rank, P - 1)
     xyz_sorted = target.xyz[order]
     comp_vals = [xyz_sorted[:, 0], xyz_sorted[:, 1], xyz_sorted[:, 2],
                  order.astype(f32)]
+    for c, v in enumerate(comp_vals):                       # 4 scalar scatters
+        tab = tab.at[scat_cell, c * P + scat_rank].set(
+            jnp.where(slot_ok, v, -1.0))
+    tab = tab.at[n_cells].set(-1.0)                         # sentinel bucket stays empty
     per_cell_dropped = jnp.sum((~slot_ok) & (key_sorted < n_cells))
 
     # 27-cell candidate pool per source point (a 2x2x2 octant pool would
     # need cell >= 2(r+skin) — 2.4x the candidate volume, inflating K and
-    # the per-iteration cost; 27 cells of size r+skin is the lean cover).
-    # TPU gathers cost per INDEX (measured ~7 ns/row: a straight 27-row
-    # pull is 3.2 of a 4.5 ms build), so the table is built pre-DILATED
-    # along (y, z): each target scatters into its nine (dy, dz) neighbor
-    # rows' column blocks, and each source point gathers only THREE wide
-    # rows (one per x offset). Duplicates are impossible (x-row indices
-    # differ by gy*gz >> the |shift| range) and edge handling stays exact
-    # (out-of-range dilated rows are dropped at scatter time).
-    shifts = [dy * gz + dz for dy in (-1, 0, 1) for dz in (-1, 0, 1)]
-    tab_d = jnp.full((n_cells + 1, 36 * P), -1.0, f32)
-    for si, s in enumerate(shifts):
-        # a target in cell c appears in the dilated rows r = c - s, in the
-        # shift-s column block (dropping out-of-range rows keeps edge
-        # semantics exact — no wrap garbage)
-        row = key_sorted - s
-        ok_r = slot_ok & (key_sorted < n_cells) & (row >= 0) & (row < n_cells)
-        row = jnp.where(ok_r, row, n_cells)
-        for c, v in enumerate(comp_vals):
-            tab_d = tab_d.at[row, (4 * si + c) * P + scat_rank].set(
-                jnp.where(ok_r, v, -1.0))
-    tab_d = tab_d.at[n_cells].set(-1.0)
-
+    # the per-iteration cost; 27 cells of size r+skin is the lean cover),
+    # pulled as whole cell rows then reduced to the K nearest
     cbase = jnp.clip(jnp.floor((x.xyz - lo) / cell).astype(jnp.int32), 0, clip_hi)
-    xn = cbase[:, 0:1] + jnp.asarray([[-1, 0, 1]], jnp.int32)  # [N,3]
-    cid3 = (xn * gy + cbase[:, 1:2]) * gz + cbase[:, 2:3]
-    cid3 = jnp.where((xn >= 0) & (xn < gx), cid3, n_cells)
+    offs = jnp.asarray(
+        [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+         for dz in (-1, 0, 1)], jnp.int32)                  # [27,3]
+    cnb = cbase[:, None, :] + offs[None, :, :]              # [N,27,3]
+    in_grid = jnp.all((cnb >= 0) & (cnb < jnp.asarray([gx, gy, gz])), axis=-1)
+    cid = (cnb[..., 0] * gy + cnb[..., 1]) * gz + cnb[..., 2]
+    cid = jnp.where(in_grid, cid, n_cells)                  # empty sentinel bucket
 
-    pool = tab_d[cid3.reshape(-1)].reshape(N, 27, 4 * P)    # [N,27,4P]
+    pool = tab[cid.reshape(-1)].reshape(N, 27, 4 * P)       # [N,27,4P]
     # component extraction = static column-block slices -> [N, 27P] arrays
     # (lane-aligned; no minor-dim-4 anywhere)
     comp = [pool[:, :, c * P:(c + 1) * P].reshape(N, 27 * P) for c in range(4)]
