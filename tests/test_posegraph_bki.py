@@ -85,6 +85,13 @@ def test_sparse_kernel_shape():
     assert k[3] == 0.0
 
 
+def test_bki_empty_map_query():
+    """Querying a freshly-constructed map returns unknown, not IndexError."""
+    m = SemanticBKIMap(resolution=0.1, num_classes=4)
+    states, sems = m.query(np.array([[0.0, 0.0, 0.0], [1.0, 2.0, 3.0]]))
+    assert (states == 0).all() and (sems == 0).all()
+
+
 def test_bki_map_occupancy_and_semantics():
     m = SemanticBKIMap(resolution=0.1, num_classes=4, ell=0.2)
     rng = np.random.default_rng(0)

@@ -108,9 +108,12 @@ def _chunk_weights(pts, valid, offsets, origin_vox, res, ell, sigma0, n, m):
                   + jnp.sin(2 * jnp.pi * r) / (2 * jnp.pi))
     w = jnp.where((d < ell) & valid[:, None], jnp.maximum(k, 0.0), 0.0)
     loc = vox - origin_vox[None, None, :]                        # [n, m, 3]
+    # defensive: a local coord outside [0, 1023] would corrupt the OR-packed
+    # key (negative int32 sets all high bits); kill such candidates
+    in_key = jnp.all((loc >= 0) & (loc < 1024), axis=-1)         # [n, m]
     key = ((loc[..., 0] << 20) | (loc[..., 1] << 10)
            | loc[..., 2]).reshape(-1)                            # [n*m]
-    wf = w.reshape(-1)
+    wf = jnp.where(in_key, w, 0.0).reshape(-1)
     key = jnp.where(wf > 0, key, _DEAD)
     return key, wf
 
@@ -212,8 +215,12 @@ class SemanticBKIMap:
         is round trips, not device compute."""
         res = self.resolution
         reach = int(np.ceil(self.ell / res))
-        base_all = np.floor(np.asarray(positions, np.float64) / res
-                            ).astype(np.int64)
+        # base voxel coords from the SAME float32 values and division the
+        # device floor sees (_chunk_weights line ~102) — float64 here can
+        # disagree by one voxel at ~1e-5 boundaries, and a chunk-extremal
+        # disagreement would corrupt the 10-bit packed local key
+        base_all = np.floor(np.asarray(positions, np.float32)
+                            / np.float32(res)).astype(np.int64)
         order = np.argsort(_morton_keys(base_all), kind="stable")
         pos32 = np.asarray(positions, np.float32)[order]
         rows = rows[order]
@@ -390,9 +397,11 @@ class SemanticBKIMap:
     def _lookup(self, vox: np.ndarray):
         """[Q, 3] voxel coords -> (row index into _alpha or -1, found mask)."""
         q = _pack_keys(vox)
+        if len(self._keys) == 0:
+            return np.zeros(len(q), np.int64), np.zeros(len(q), bool)
         idx = np.searchsorted(self._keys, q)
-        idx_c = np.minimum(idx, max(len(self._keys) - 1, 0))
-        found = (len(self._keys) > 0) & (self._keys[idx_c] == q)
+        idx_c = np.minimum(idx, len(self._keys) - 1)
+        found = self._keys[idx_c] == q
         return idx_c, found
 
     def query(self, xyz: np.ndarray):

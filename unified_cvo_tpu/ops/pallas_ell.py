@@ -92,7 +92,7 @@ def pack_x(params, ell, x: PointCloud):
 
 
 def pack_scalars(params, R_inv, T_inv, twist=None):
-    """[64] f32 scalar-prefetch vector (pose + twist Taylor matrices)."""
+    """[_S_LEN] f32 scalar-prefetch vector (pose + twist Taylor matrices)."""
     f32 = jnp.float32
     out = jnp.zeros((_S_LEN,), f32)
     out = out.at[_S_RINV:_S_RINV + 9].set(jnp.ravel(R_inv.astype(f32)))
