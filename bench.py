@@ -119,6 +119,7 @@ def main():
     chunk = int(os.environ.get("BENCH_CHUNK", 4096))
     backend = os.environ.get("BENCH_BACKEND", "auto")
     nl_builder = os.environ.get("BENCH_NL_BUILDER") or None
+    nl_k = int(os.environ["BENCH_NL_K"]) if "BENCH_NL_K" in os.environ else None
     # Hard iteration cap: an unbounded while_loop dispatched to the TPU
     # cannot be cancelled and would hold the chip for minutes.
     max_iter = int(os.environ.get("BENCH_MAX_ITER", 1500))
@@ -147,6 +148,7 @@ def main():
             T_rel, ret, info = align(
                 frames[k], frames[k + 1], guess, params, chunk=chunk,
                 max_iter=max_iter, backend=backend, nl_builder=nl_builder,
+                nl_k=nl_k,
             )
             # constant-velocity warm start, device-resident. align returns
             # the target->source map and takes the inverse convention as its
@@ -187,7 +189,7 @@ def main():
     t0 = time.time()
     T1, ret1, info1 = align(
         frames[0], frames[1], ig1, params, chunk=chunk, max_iter=max_iter,
-        backend=backend, nl_builder=nl_builder,
+        backend=backend, nl_builder=nl_builder, nl_k=nl_k,
     )
     np.asarray(T1)
     log(f"single-pair latency: {(time.time()-t0)*1e3:.1f} ms "

@@ -364,7 +364,6 @@ def align(
 
     def body(c: _Carry) -> _Carry:
         Rinv, Tinv = lie.invert_rt(c.R, c.T)
-        y_t = target.transformed(Rinv, Tinv)
 
         if use_ell:
             # the neighbor list is a closure constant of this inner loop
@@ -376,11 +375,11 @@ def align(
             # scalar glue (indicator/poly/lie ops), not the slot math
             nl = body.nl
             if use_fused_ell:
-                stats = pe.flow_stats_ell_fused(
+                # fully-reduced flow: omega/v moments accumulate inside
+                # the kernel, no [*, N] row outputs or follow-on pass
+                twist, joint_norm, nonzeros, a_sum = pe.flow_twist_ell_fused(
                     params, c.ell, source, nl, Rinv, Tinv,
                     tile_n=fused_flow_tile, interpret=fused_interp)
-                twist, joint_norm = kernels.flow_from_stats(
-                    params, source, stats)
                 B, C, D, E = pe.step_coeffs_ell_fused(
                     params, c.ell, source, nl, Rinv, Tinv, twist,
                     tile_n=fused_step_tile, interpret=fused_interp)
@@ -391,12 +390,15 @@ def align(
                     params, source, stats)
                 B, C, D, E = nbr.step_coeffs_ell(
                     params, c.ell, source, a_ell, y_t_slots, twist)
+                nonzeros, a_sum = stats.nonzeros, stats.a_sum
         else:
+            y_t = target.transformed(Rinv, Tinv)
             comp = prep_fn(params, c.ell, source, y_t)
             stats = flow_fn(params, c.ell, source, y_t, comp)
             twist, joint_norm = kernels.flow_from_stats(
                 params, source, stats, psum_axis=ring_axis)
             B, C, D, E = step_fn(params, c.ell, source, y_t, twist, comp)
+            nonzeros, a_sum = stats.nonzeros, stats.a_sum
         step = step_from_poly(B, C, D, E, params.min_step, params.max_step)
 
         # degenerate-flow break (reference CvoGPU.cu:1452-1458). The eps test
@@ -414,7 +416,7 @@ def align(
         dist = lie.se3_distance(dR, dT)
         nan_break = jnp.isnan(dist)
 
-        ip_curr = stats.nonzeros.astype(f32) / sqrt_nxny
+        ip_curr = nonzeros.astype(f32) / sqrt_nxny
         ind_new, decrease = indicator_ops.update(
             c.ind, ip_curr, params.indicator_stable_threshold
         )
@@ -426,7 +428,7 @@ def align(
             s_xx = kernels.weighted_d2_sum(params, c.ell, source, source, chunk)
             s_yy = kernels.weighted_d2_sum(params, c.ell, y_t, y_t, chunk)
             denom = (
-                s_xx[1] + s_yy[1] - 2 * stats.nonzeros
+                s_xx[1] + s_yy[1] - 2 * nonzeros
             ).astype(f32)
             dl = (s_xx[0] + s_yy[0] - 2.0 * s_xy[0]) / (c.ell**3) / jnp.where(
                 denom == 0, 1.0, denom
@@ -456,8 +458,8 @@ def align(
                 "step": c.history["step"].at[c.k].set(step),
                 "dist": c.history["dist"].at[c.k].set(dist),
                 "ip": c.history["ip"].at[c.k].set(ip_curr),
-                "nonzeros": c.history["nonzeros"].at[c.k].set(stats.nonzeros.astype(f32)),
-                "a_sum": c.history["a_sum"].at[c.k].set(stats.a_sum),
+                "nonzeros": c.history["nonzeros"].at[c.k].set(nonzeros.astype(f32)),
+                "a_sum": c.history["a_sum"].at[c.k].set(a_sum),
             }
         else:
             hist_new = None
@@ -471,8 +473,8 @@ def align(
             ret=jnp.where(degenerate, -1, 0).astype(jnp.int32),
             step=step,
             dist=dist,
-            nonzeros=stats.nonzeros,
-            a_sum=stats.a_sum,
+            nonzeros=nonzeros,
+            a_sum=a_sum,
             ind=ind_new,
             history=hist_new,
             nl_overflow=c.nl_overflow,
@@ -510,8 +512,11 @@ def align(
                 # exact for the whole solve, never rebuild
                 return jnp.logical_not(c.done) & (c.k < max_iter)
             Rinv, Tinv = lie.invert_rt(c.R, c.T)
-            drift = nbr.drift_exceeded(
-                inner_cond.nl, target, Rinv, Tinv, nl_skin)
+            # O(1) sound drift bound from the pose delta (can fire a little
+            # early, never late) — replaces a per-point [M, 3] stream in
+            # the cond of EVERY iteration
+            drift = nbr.drift_bound_exceeded(
+                inner_cond.nl, Rinv, Tinv, nl_skin)
             return (jnp.logical_not(c.done) & (c.k < max_iter)
                     & (c.fresh | ~drift))
 

@@ -49,7 +49,12 @@ from unified_cvo_tpu.ops import kernels as jnp_kernels
 from unified_cvo_tpu.ops import lie
 from unified_cvo_tpu.utils.pointcloud import PointCloud
 
-DEFAULT_K = 96
+DEFAULT_K = 32            # matches the reference kd-tree mode's K
+#   (cukdtree.h:12). Measured on the bench workload: identical trajectory
+#   and overflow down to K=32 (the per-cell cap, not K, is the binding
+#   drop there); consume cost scales linearly with K, so 96 -> 32 is
+#   1.34x end-to-end. nl_overflow in AlignInfo reports when a workload
+#   saturates the cap — raise nl_k for dense-support configs.
 DEFAULT_SKIN = 0.5
 # dead-slot coordinate sentinel: far enough that any gate distance is
 # astronomically large (squared: 3e18, comfortably finite in f32) — lets
@@ -90,6 +95,9 @@ class NeighborList(NamedTuple):
     #   pay ~40 extra [N, K] ops every iteration).
     y_t_build: jax.Array              # [M, 3] transformed target at build time
     overflow: jax.Array               # [] int32: candidates dropped by the K cap
+    pose_build: Optional[jax.Array] = None   # [12] (R_inv | T_inv) at build —
+    #   reference pose for the O(1) drift bound (drift_bound_exceeded)
+    r_max_t: Optional[jax.Array] = None      # [] max |y| over valid targets
 
 
 def support_radius(params, ell, x: PointCloud):
@@ -263,7 +271,14 @@ def build_neighbor_list(
         chan=chan,
         y_t_build=y_t,
         overflow=overflow,
+        pose_build=jnp.concatenate([jnp.ravel(R_inv), T_inv]).astype(f32),
+        r_max_t=_r_max(target),
     )
+
+
+def _r_max(target: PointCloud):
+    return jnp.sqrt(jnp.max(jnp.where(
+        target.mask > 0, jnp.sum(target.xyz * target.xyz, axis=-1), 0.0)))
 
 
 def _gather_slots(a, idx):
@@ -372,6 +387,8 @@ def build_neighbor_list_scan(
         chan=chan,
         y_t_build=y_t_full[:M],
         overflow=overflow,
+        pose_build=jnp.concatenate([jnp.ravel(R_inv), T_inv]).astype(f32),
+        r_max_t=_r_max(tgt),
     )
 
 
@@ -420,6 +437,22 @@ def _channel_kernel(params, x: PointCloud, valid, y_feat, y_label, y_geo):
     if a is None:
         return None
     return jnp.where(ok, a, 0.0)
+
+
+def drift_bound_exceeded(nl: NeighborList, R_inv, T_inv, skin: float):
+    """O(1) Verlet rebuild trigger: a SOUND upper bound on the max target
+    displacement since build, from the pose delta alone —
+      |Delta(R_inv) y + Delta(T_inv)| <= ||Delta(R_inv)||_F * r_max + |Delta(T_inv)|
+    (||A y|| <= ||A||_2 |y| <= ||A||_F |y|). At most sqrt(2)x conservative
+    on the rotation part, so rebuilds can fire slightly earlier than the
+    exact per-point check — never later. Replaces an [M, 3] stream +
+    reduction in the inner-loop cond with ~20 scalar flops."""
+    f32 = jnp.float32
+    dR = jnp.ravel(R_inv.astype(f32)) - nl.pose_build[:9]
+    dT = T_inv.astype(f32) - nl.pose_build[9:]
+    bound = (jnp.sqrt(jnp.sum(dR * dR)) * nl.r_max_t
+             + jnp.sqrt(jnp.sum(dT * dT)))
+    return bound > f32(skin)
 
 
 def drift_exceeded(nl: NeighborList, target: PointCloud, R_inv, T_inv,

@@ -92,29 +92,32 @@ def pack_x(params, ell, x: PointCloud):
 
 
 def pack_scalars(params, R_inv, T_inv, twist=None):
-    """[_S_LEN] f32 scalar-prefetch vector (pose + twist Taylor matrices)."""
+    """[_S_LEN] f32 scalar-prefetch vector (pose + twist Taylor matrices).
+
+    Built with ONE concatenate in _S_* index order — the former ~15
+    dynamic_update_slices were a measurable slice of the per-iteration
+    scalar-glue floor (VERDICT r3 task 2)."""
     f32 = jnp.float32
-    out = jnp.zeros((_S_LEN,), f32)
-    out = out.at[_S_RINV:_S_RINV + 9].set(jnp.ravel(R_inv.astype(f32)))
-    out = out.at[_S_TINV:_S_TINV + 3].set(T_inv.astype(f32))
-    out = out.at[_S_SIGMA2].set(f32(params.sigma) ** 2)
-    out = out.at[_S_SP].set(f32(params.sp_thres))
-    if twist is not None:
+    parts = [
+        jnp.ravel(R_inv.astype(f32)),                        # _S_RINV (9)
+        T_inv.astype(f32),                                   # _S_TINV (3)
+        jnp.asarray([float(params.sigma) ** 2,
+                     float(params.sp_thres)], f32),          # _S_SIGMA2, _S_SP
+    ]
+    if twist is None:
+        parts.append(jnp.zeros((_S_LEN - 14,), f32))
+    else:
         omega, v = twist[:3].astype(f32), twist[3:].astype(f32)
         W = lie.skew(omega)
         Wv = W @ v
         c2 = W @ Wv
-        out = out.at[_S_OM2].set(jnp.dot(omega, omega))
-        out = out.at[_S_VV].set(jnp.dot(v, v))
-        out = out.at[_S_OMEGA:_S_OMEGA + 3].set(omega)
-        out = out.at[_S_V:_S_V + 3].set(v)
-        out = out.at[_S_WV:_S_WV + 3].set(Wv)
-        out = out.at[_S_C2:_S_C2 + 3].set(c2)
-        out = out.at[_S_VWV].set(jnp.dot(v, Wv))
-        out = out.at[_S_WV2].set(jnp.dot(Wv, Wv))
-        out = out.at[_S_VC2].set(jnp.dot(v, c2))
-        out = out.at[_S_VOM].set(jnp.dot(v, omega))
-    return out
+        parts += [
+            jnp.stack([jnp.dot(omega, omega), jnp.dot(v, v)]),
+            omega, v, Wv, c2,
+            jnp.stack([jnp.dot(v, Wv), jnp.dot(Wv, Wv),
+                       jnp.dot(v, c2), jnp.dot(v, omega)]),
+        ]
+    return jnp.concatenate(parts)
 
 
 def _transform_and_a(s_ref, x, y, chan, use_geometry):
@@ -166,7 +169,44 @@ def _flow_kernel(use_geometry, has_chan, *refs):
     cnt_out[:] = jnp.sum((a > 0).astype(jnp.float32), axis=0, keepdims=True)
 
 
-def _step_kernel(use_geometry, has_chan, *refs):
+def _flow_reduce_kernel(use_geometry, has_chan, *refs):
+    """Fully-reduced flow pass: each grid step writes ONE [8, 1] column of
+    tile partials (omega*c / v*d unscaled moments, a_sum, nonzeros) —
+    no [*, N] row outputs leave the kernel, so the pass is read-only on
+    HBM apart from 8 floats per tile. The cross product and the
+    (wy - s x) moment use the same x rows already resident for the gate."""
+    if has_chan:
+        s_ref, x_ref, y_ref, chan_ref, acc_out = refs
+        chan = chan_ref[:]
+    else:
+        s_ref, x_ref, y_ref, acc_out = refs
+        chan = None
+    x = x_ref[:]
+    y = y_ref[:]
+    y_t, a = _transform_and_a(s_ref, x, y, chan, use_geometry)
+    s = jnp.sum(a, axis=0)                                    # [T]
+    wy = [jnp.sum(a * y_t[c], axis=0) for c in range(3)]      # 3 x [T]
+    xr = [x[_X0 + c, :] for c in range(3)]
+    # masked/dead source rows have a == 0 for every slot, so s == wy == 0
+    # and they contribute nothing to any moment
+    om = [xr[(c + 1) % 3] * wy[(c + 2) % 3]
+          - xr[(c + 2) % 3] * wy[(c + 1) % 3] for c in range(3)]
+    v = [wy[c] - s * xr[c] for c in range(3)]
+    cnt = jnp.sum((a > 0).astype(jnp.float32), axis=0)
+    rows = jnp.stack(om + v + [s, cnt], axis=0)               # [8, T]
+    # fold T lanes -> 128 lanes and accumulate into the resident [8, 128]
+    # output block (constant index_map keeps it in VMEM across grid steps;
+    # a dynamic per-step column store is not Mosaic-legal)
+    folded = jnp.sum(rows.reshape(8, -1, 128), axis=1)        # [8, 128]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        acc_out[:] = jnp.zeros_like(acc_out)
+
+    acc_out[:] += folded
+
+
+def _step_kernel(use_geometry, has_chan, reduced, *refs):
     if has_chan:
         s_ref, x_ref, y_ref, chan_ref, bcde_out = refs
         chan = chan_ref[:]
@@ -226,21 +266,37 @@ def _step_kernel(use_geometry, has_chan, *refs):
     delta = 2.0 * coef * (xdx2 - d3)
     epsil = -coef * (epsc + 2.0 * d4)
     b2 = beta * beta
-    bcde_out[0:1, :] = jnp.sum(a * beta, axis=0, keepdims=True)
-    bcde_out[1:2, :] = jnp.sum(a * (gamma + 0.5 * b2), axis=0, keepdims=True)
-    bcde_out[2:3, :] = jnp.sum(
-        a * (delta + beta * gamma + b2 * beta / 6.0), axis=0, keepdims=True)
-    bcde_out[3:4, :] = jnp.sum(
-        a * (epsil + beta * delta + 0.5 * b2 * gamma + 0.5 * gamma * gamma
-             + b2 * b2 / 24.0), axis=0, keepdims=True)
+    rows = [
+        jnp.sum(a * beta, axis=0, keepdims=True),
+        jnp.sum(a * (gamma + 0.5 * b2), axis=0, keepdims=True),
+        jnp.sum(a * (delta + beta * gamma + b2 * beta / 6.0), axis=0,
+                keepdims=True),
+        jnp.sum(a * (epsil + beta * delta + 0.5 * b2 * gamma
+                     + 0.5 * gamma * gamma + b2 * b2 / 24.0), axis=0,
+                keepdims=True),
+    ]
+    if reduced:
+        # fold to [4, 128] lane partials and accumulate across grid steps;
+        # nothing [*, N]-shaped leaves the kernel
+        folded = jnp.sum(
+            jnp.concatenate(rows, axis=0).reshape(4, -1, 128), axis=1)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            bcde_out[:] = jnp.zeros_like(bcde_out)
+
+        bcde_out[:] += folded
+    else:
+        for r in range(4):
+            bcde_out[r:r + 1, :] = rows[r]
 
 
 def _call(kernel, n_out_rows, params, scal, xp, y_xyz, chan, tile_n,
-          interpret):
+          interpret, extra_static=(), reduced=False):
     K, N = y_xyz.shape[1], y_xyz.shape[2]
     has_chan = chan is not None
     body = functools.partial(
-        kernel, bool(params.is_using_geometry), has_chan)
+        kernel, bool(params.is_using_geometry), has_chan, *extra_static)
     in_specs = [
         pl.BlockSpec((_XROWS, tile_n), lambda i, s: (0, i),
                      memory_space=pltpu.VMEM),
@@ -252,13 +308,25 @@ def _call(kernel, n_out_rows, params, scal, xp, y_xyz, chan, tile_n,
         in_specs.append(pl.BlockSpec((K, tile_n), lambda i, s: (0, i),
                                      memory_space=pltpu.VMEM))
         operands.append(chan)
-    out_specs = [
-        pl.BlockSpec((r, tile_n), lambda i, s: (0, i),
-                     memory_space=pltpu.VMEM)
-        for r in n_out_rows
-    ]
-    out_shape = [jax.ShapeDtypeStruct((r, N), jnp.float32)
-                 for r in n_out_rows]
+    if reduced:
+        # [rows, 128] lane-partial accumulator, resident in VMEM across
+        # all grid steps (constant index_map); kernels += their folded
+        # tile partials into it
+        out_specs = [
+            pl.BlockSpec((r, 128), lambda i, s: (0, 0),
+                         memory_space=pltpu.VMEM)
+            for r in n_out_rows
+        ]
+        out_shape = [jax.ShapeDtypeStruct((r, 128), jnp.float32)
+                     for r in n_out_rows]
+    else:
+        out_specs = [
+            pl.BlockSpec((r, tile_n), lambda i, s: (0, i),
+                         memory_space=pltpu.VMEM)
+            for r in n_out_rows
+        ]
+        out_shape = [jax.ShapeDtypeStruct((r, N), jnp.float32)
+                     for r in n_out_rows]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=(N // tile_n,), in_specs=in_specs,
         out_specs=out_specs)
@@ -295,12 +363,32 @@ def flow_stats_ell_fused(params, ell, x: PointCloud, nl, R_inv, T_inv,
     )
 
 
+def flow_twist_ell_fused(params, ell, x: PointCloud, nl, R_inv, T_inv,
+                         tile_n: int = DEFAULT_FLOW_TILE_N,
+                         interpret: bool = False):
+    """Fully-reduced flow pass: (unit twist [6], joint_norm, nonzeros,
+    a_sum) with the omega/v moments accumulated IN the kernel — no [*, N]
+    arrays leave HBM (the row-output variant + kernels.flow_from_stats
+    costs an extra ~0.016 ms/iter at bench scale). Same math as
+    flow_from_stats (reference compute_flow, CvoGPU.cu:729-848)."""
+    xp = pack_x(params, ell, x)
+    scal = pack_scalars(params, R_inv, T_inv)
+    (acc,) = _call(_flow_reduce_kernel, (8,), params, scal, xp,
+                   nl.y_xyz, nl.chan, tile_n, interpret, reduced=True)
+    t = jnp.sum(acc, axis=1)                                 # [8]
+    joint = jnp.concatenate([t[:3] / params.c, t[3:6] / params.d])
+    jn = jnp.linalg.norm(joint)
+    unit = joint / jnp.where(jn < 1e-30, 1.0, jn)
+    return unit, jn, t[7].astype(jnp.int32), t[6]
+
+
 def step_coeffs_ell_fused(params, ell, x: PointCloud, nl, R_inv, T_inv,
                           twist, tile_n: int = DEFAULT_STEP_TILE_N,
                           interpret: bool = False):
     xp = pack_x(params, ell, x)
     scal = pack_scalars(params, R_inv, T_inv, twist=twist)
     (bcde,) = _call(_step_kernel, (4,), params, scal, xp,
-                    nl.y_xyz, nl.chan, tile_n, interpret)
+                    nl.y_xyz, nl.chan, tile_n, interpret,
+                    extra_static=(True,), reduced=True)
     t = jnp.sum(bcde, axis=1)
     return t[0], t[1], t[2], t[3]
