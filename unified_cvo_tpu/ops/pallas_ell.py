@@ -23,7 +23,12 @@ prefetch.
 
 Semantics: bitwise-equivalent gates to neighbors.kernel_slots /
 step_coeffs_ell (reference fill_in_A_mat_gpu CvoGPU.cu:477-593 +
-compute_step_size_* CvoGPU.cu:953-1082); only f32 reduction order differs.
+compute_step_size_* CvoGPU.cu:953-1082); only f32 reduction order
+differs. Quantified (PERF.md "Fused-vs-jnp consume drift"): per-step
+twists differ ~1e-4 relative, which the threshold-driven schedule can
+amplify into visibly different iteration counts, but converged poses
+agree to |log-delta| ~ 5e-4 on the bench workload — pinned by
+tests/test_neighbors.py::test_fused_vs_jnp_convergence_agreement.
 """
 
 from __future__ import annotations
