@@ -25,11 +25,16 @@ class Keyframe:
     local_map: Optional[SemanticBKIMap] = None
 
     def construct_map(self, resolution: float = 0.1, num_classes: int = 19,
-                      ell: float = 0.3):
+                      ell: float = 0.3, free_resolution: float = 100.0):
         """Build the keyframe-local BKI map from its own points
-        (Frame::construct_map)."""
+        (Frame::construct_map). free_resolution defaults to 100 m exactly
+        as the reference caller passes it (Frame.cpp:166
+        `insert_pointcloud_csm(&points_, origin, -1, 100, -1)`) — at
+        KITTI-scale ranges that inserts essentially no free-space samples;
+        pass a small value (e.g. 0.5) for dense free-space evidence."""
         self.local_map = SemanticBKIMap(
-            resolution=resolution, num_classes=num_classes, ell=ell
+            resolution=resolution, num_classes=num_classes, ell=ell,
+            free_resolution=free_resolution,
         )
         data = to_numpy_valid(self.cloud)
         self.local_map.insert_pointcloud(
