@@ -56,7 +56,45 @@ def _factor_residuals(poses_rt, delta, fi, fj, Z_rt):
     return lie.se3_log(Re, te)
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
+def _edge_residual_d(Ri, ti, Rj, tj, Rz, tz, d):
+    """One edge's residual r(d) with d = [delta_i | delta_j] in R^12 and the
+    same left-multiplicative update convention as _factor_residuals."""
+    dRi, dti = lie.se3_exp(d[:6], 1.0)
+    dRj, dtj = lie.se3_exp(d[6:], 1.0)
+    Ri2 = dRi @ Ri
+    ti2 = dRi @ ti + dti
+    Rj2 = dRj @ Rj
+    tj2 = dRj @ tj + dtj
+    Rij = Ri2.T @ Rj2
+    tij = Ri2.T @ (tj2 - ti2)
+    Re = Rz.T @ Rij
+    te = Rz.T @ (tij - tz)
+    return lie.se3_log(Re, te)
+
+
+def _edge_blocks_pg(R, t, fi, fj, Rz, tz, weights):
+    """Per-edge residuals + 6x6 GN blocks, O(E) memory (VERDICT r3 task 6:
+    replaces the whole-graph jacfwd's [E,6,F,6] dense jacobian).
+    Returns (res [E,6], H_aa, H_bb, H_ab [E,6,6], b_a, b_b [E,6])."""
+    zero12 = jnp.zeros((12,), jnp.float32)
+
+    def one(Ri, ti, Rj, tj, Rze, tze):
+        r = _edge_residual_d(Ri, ti, Rj, tj, Rze, tze, zero12)
+        J = jax.jacfwd(
+            lambda d: _edge_residual_d(Ri, ti, Rj, tj, Rze, tze, d))(zero12)
+        return r, J[:, :6], J[:, 6:]
+
+    res, Ji, Jj = jax.vmap(one)(R[fi], t[fi], R[fj], t[fj], Rz, tz)
+    w = weights[:, None, None]
+    H_aa = w * jnp.einsum("eri,erj->eij", Ji, Ji)
+    H_bb = w * jnp.einsum("eri,erj->eij", Jj, Jj)
+    H_ab = w * jnp.einsum("eri,erj->eij", Ji, Jj)
+    b_a = weights[:, None] * jnp.einsum("eri,er->ei", Ji, res)
+    b_b = weights[:, None] * jnp.einsum("eri,er->ei", Jj, res)
+    return res, H_aa, H_bb, H_ab, b_a, b_b
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "solver", "cg_iters"))
 def optimize_pose_graph(
     poses: jax.Array,          # [F,4,4]
     fi: jax.Array,             # [E] i32
@@ -67,8 +105,20 @@ def optimize_pose_graph(
     iters: int = 10,
     damping: float = 1e-6,
     prior: Optional[dict] = None,
+    solver: str = "dense",
+    cg_iters: int = 150,
 ):
     """Weighted GN over the pose graph. Returns optimized poses [F,4,4].
+
+    The system is assembled from per-edge 6x6 blocks (O(E) memory; the
+    round-3 whole-graph jacfwd materialized [E,6,F,6]).
+
+    solver: 'dense' scatters the blocks into the 6F x 6F matrix and
+    Cholesky-solves (exact; right up to a few hundred keyframes); 'cg'
+    runs the same matrix-free block-sparse PCG as the distributed BA
+    (irls._solve_cg_blocks) — O(E) memory for long trajectories.
+    'cg' does not support `prior` (fixed-lag windows are bounded, so the
+    dense path always covers them).
 
     prior: optional Gaussian marginal from sliding-window marginalization
     (the BatchFixedLagSmoother analogue, reference PoseGraph.cpp:421-551):
@@ -77,6 +127,9 @@ def optimize_pose_graph(
     with xi_k = log(T_k T_lin,k^{-1}) the left-tangent deviation from the
     linearization point — contributes H to the system and (H xi + b) to
     the gradient each GN iteration."""
+    if solver == "cg" and prior is not None:
+        raise ValueError("solver='cg' does not support a marginal prior; "
+                         "fixed-lag windows use the dense path")
     F = poses.shape[0]
     R = poses[:, :3, :3]
     t = poses[:, :3, 3]
@@ -84,18 +137,35 @@ def optimize_pose_graph(
     tz = Z[:, :3, 3]
     free = (1.0 - fixed_mask)[:, None]
 
+    def body_cg(carry, _):
+        from unified_cvo_tpu.models.irls import _solve_cg_blocks
+
+        R, t = carry
+        res, H_aa, H_bb, H_ab, b_a, b_b = _edge_blocks_pg(
+            R, t, fi, fj, Rz, tz, weights)
+        b = (jnp.zeros((F, 6), jnp.float32)
+             .at[fi].add(b_a).at[fj].add(b_b))
+        free6f = jnp.tile(jnp.ones((6,), jnp.float32), (F, 1)) * free
+        delta = _solve_cg_blocks(F, fi, fj, H_aa, H_bb, H_ab, b, free6f,
+                                 damping, cg_iters)
+        dR, dt = lie.se3_exp(delta, 1.0)
+        t = jnp.einsum("fij,fj->fi", dR, t) + dt
+        R = dR @ R
+        return (R, t), jnp.linalg.norm(delta)
+
     def body(carry, _):
         R, t = carry
-        zero = jnp.zeros((F, 6), jnp.float32)
-        res = _factor_residuals((R, t), zero, fi, fj, (Rz, tz))  # [E,6]
-        J = jax.jacfwd(lambda d: _factor_residuals((R, t), d, fi, fj, (Rz, tz)))(
-            zero
-        )  # [E,6,F,6]
-        w = weights[:, None, None, None]
-        E = res.shape[0]
-        Jf = (J * w).reshape(E * 6, F * 6)
-        H = Jf.T @ (J.reshape(E * 6, F * 6))
-        b = Jf.T @ res.reshape(E * 6)
+        res, H_aa, H_bb, H_ab, b_a, b_b = _edge_blocks_pg(
+            R, t, fi, fj, Rz, tz, weights)
+        # scatter the 6x6 blocks into the dense [F,F,6,6] -> [6F,6F] system
+        Hb = (jnp.zeros((F, F, 6, 6), jnp.float32)
+              .at[fi, fi].add(H_aa)
+              .at[fj, fj].add(H_bb)
+              .at[fi, fj].add(H_ab)
+              .at[fj, fi].add(jnp.swapaxes(H_ab, 1, 2)))
+        H = Hb.transpose(0, 2, 1, 3).reshape(6 * F, 6 * F)
+        b = (jnp.zeros((F, 6), jnp.float32)
+             .at[fi].add(b_a).at[fj].add(b_b)).reshape(6 * F)
         if prior is not None:
             pR = R[prior["idx"]]
             pt = t[prior["idx"]]
@@ -116,7 +186,8 @@ def optimize_pose_graph(
         R = dR @ R
         return (R, t), jnp.linalg.norm(delta)
 
-    (R, t), dn = jax.lax.scan(body, (R, t), None, length=iters)
+    (R, t), dn = jax.lax.scan(body_cg if solver == "cg" else body,
+                              (R, t), None, length=iters)
     out = jnp.tile(jnp.eye(4, dtype=poses.dtype), (F, 1, 1))
     out = out.at[:, :3, :3].set(R).at[:, :3, 3].set(t)
     return out, dn[-1]
@@ -128,6 +199,9 @@ class PoseGraphConfig:
     odometry_weight: float = 1.0
     window_size: int = 0                             # 0 = full batch
     optimize_iters: int = 10
+    solver: str = "auto"       # 'auto' = dense up to 64 in-window keyframes,
+    #   matrix-free block-PCG beyond (full-batch long trajectories);
+    #   windows with a marginal prior always solve dense (bounded size)
 
 
 class PoseGraph:
@@ -297,12 +371,30 @@ class PoseGraph:
         sub = [f for f in self.factors if f.ref_id >= lo and f.curr_id >= lo]
         if not sub:
             return
-        poses = jnp.asarray(np.stack(self.keyframe_poses[lo:]), jnp.float32)
-        fi = jnp.asarray([f.ref_id - lo for f in sub], jnp.int32)
-        fj = jnp.asarray([f.curr_id - lo for f in sub], jnp.int32)
-        Z = jnp.asarray(np.stack([f.transform for f in sub]), jnp.float32)
-        w = jnp.asarray([self.config.odometry_weight] * len(sub), jnp.float32)
-        fixed = np.zeros(poses.shape[0], np.float32)
+        # pad keyframes and edges to power-of-two buckets: the online driver
+        # re-optimizes after EVERY keyframe, and an unpadded call would
+        # compile a fresh program per (F, E) shape (seconds each on
+        # remote-TPU links). Pad poses are identity + held fixed; pad
+        # edges are weight-0 self-loops on frame 0 — both contribute
+        # exactly nothing to the system.
+        Fw = len(self.keyframe_poses) - lo
+        E = len(sub)
+        Fp = max(8, 1 << (Fw - 1).bit_length())
+        Ep = max(8, 1 << (E - 1).bit_length())
+        poses_np = np.tile(np.eye(4, dtype=np.float32), (Fp, 1, 1))
+        poses_np[:Fw] = np.stack(self.keyframe_poses[lo:])
+        poses = jnp.asarray(poses_np)
+        fi = jnp.asarray([f.ref_id - lo for f in sub] + [0] * (Ep - E),
+                         jnp.int32)
+        fj = jnp.asarray([f.curr_id - lo for f in sub] + [0] * (Ep - E),
+                         jnp.int32)
+        Z_np = np.tile(np.eye(4, dtype=np.float32), (Ep, 1, 1))
+        Z_np[:E] = np.stack([f.transform for f in sub])
+        Z = jnp.asarray(Z_np)
+        w = jnp.asarray(
+            [self.config.odometry_weight] * E + [0.0] * (Ep - E), jnp.float32)
+        fixed = np.ones(Fp, np.float32)
+        fixed[:Fw] = 0.0
         if lo == 0:
             fixed[0] = 1.0   # gauge: the global origin while in window;
             # afterwards the marginal prior anchors the window
@@ -316,12 +408,17 @@ class PoseGraph:
                 "lin_R": jnp.asarray(self.prior["lin"][:, :3, :3], jnp.float32),
                 "lin_t": jnp.asarray(self.prior["lin"][:, :3, 3], jnp.float32),
             }
+        solver = self.config.solver
+        if solver == "auto":
+            solver = ("cg" if prior_local is None and Fw > 64
+                      else "dense")
         out, _ = optimize_pose_graph(
             poses, fi, fj, Z, w, jnp.asarray(fixed),
             iters=self.config.optimize_iters, prior=prior_local,
+            solver=solver,
         )
         out = np.asarray(out, np.float64)
-        for k in range(poses.shape[0]):
+        for k in range(Fw):                    # skip the identity padding
             self.keyframe_poses[lo + k] = out[k]
 
     def write_trajectory(self, path: str):
