@@ -98,6 +98,10 @@ class NeighborList(NamedTuple):
     pose_build: Optional[jax.Array] = None   # [12] (R_inv | T_inv) at build —
     #   reference pose for the O(1) drift bound (drift_bound_exceeded)
     r_max_t: Optional[jax.Array] = None      # [] max |y| over valid targets
+    ell_build: Optional[jax.Array] = None    # [] ell the list was built at
+    k_lin: Optional[jax.Array] = None        # [] max_i support_radius(ell=1):
+    #   r_i(ell) = k_i * ell (range_ell is linear in ell), so the support
+    #   GROWTH bound under adaptive-ell is k_lin * max(ell - ell_build, 0)
 
 
 def support_radius(params, ell, x: PointCloud):
@@ -273,7 +277,14 @@ def build_neighbor_list(
         overflow=overflow,
         pose_build=jnp.concatenate([jnp.ravel(R_inv), T_inv]).astype(f32),
         r_max_t=_r_max(target),
+        ell_build=jnp.asarray(ell, f32),
+        k_lin=_k_lin(params, x),
     )
+
+
+def _k_lin(params, x: PointCloud):
+    return jnp.max(jnp.where(
+        x.mask > 0, support_radius(params, jnp.float32(1.0), x), 0.0))
 
 
 def _r_max(target: PointCloud):
@@ -389,6 +400,8 @@ def build_neighbor_list_scan(
         overflow=overflow,
         pose_build=jnp.concatenate([jnp.ravel(R_inv), T_inv]).astype(f32),
         r_max_t=_r_max(tgt),
+        ell_build=jnp.asarray(ell, f32),
+        k_lin=_k_lin(params, x),
     )
 
 
@@ -453,6 +466,39 @@ def drift_bound_exceeded(nl: NeighborList, R_inv, T_inv, skin: float):
     bound = (jnp.sqrt(jnp.sum(dR * dR)) * nl.r_max_t
              + jnp.sqrt(jnp.sum(dT * dT)))
     return bound > f32(skin)
+
+
+def stale_bound_exceeded(nl: NeighborList, R_inv, T_inv, ell_now,
+                         skin: float):
+    """O(1) Verlet staleness trigger for the adaptive-ell (ACVO) regime:
+    the list built with radius r_i(ell_build) + skin remains a superset of
+    the support while
+      drift_bound + k_lin * max(ell_now - ell_build, 0) <= skin
+    (support_radius is linear in ell; shrinking ell only adds margin).
+    Reduces to the pure drift bound when ell never grows."""
+    f32 = jnp.float32
+    dR = jnp.ravel(R_inv.astype(f32)) - nl.pose_build[:9]
+    dT = T_inv.astype(f32) - nl.pose_build[9:]
+    drift = (jnp.sqrt(jnp.sum(dR * dR)) * nl.r_max_t
+             + jnp.sqrt(jnp.sum(dT * dT)))
+    growth = nl.k_lin * jnp.maximum(
+        jnp.asarray(ell_now, f32) - nl.ell_build, 0.0)
+    return drift + growth > f32(skin)
+
+
+def weighted_d2_sum_ell(params, ell, x: PointCloud, nl: NeighborList,
+                        R_inv, T_inv):
+    """(sum_ij A_ij * d2_ij, nonzeros) over the candidate list — the
+    adaptive-ell gradient ingredients (reference AdaptiveCvoGPU.cu dl
+    accumulation, :548-720) without the dense N x M scan. Dead slots have
+    a == 0 exactly, so their (finite) sentinel d2 contributes nothing."""
+    yr = nl.y_xyz
+    y_t = jnp.stack(
+        [yr[0] * R_inv[c, 0] + yr[1] * R_inv[c, 1]
+         + yr[2] * R_inv[c, 2] + T_inv[c] for c in range(3)], axis=0)
+    a = kernel_slots(params, ell, x, y_t, nl)
+    d2 = sum((x.xyz[:, c][None, :] - y_t[c]) ** 2 for c in range(3))
+    return jnp.sum(a * d2), jnp.sum(a > 0)
 
 
 def drift_exceeded(nl: NeighborList, target: PointCloud, R_inv, T_inv,
