@@ -27,8 +27,10 @@ def compute_disparity(left: np.ndarray, right: np.ndarray,
     """Left-image disparity map [H,W] float32; invalid pixels <= 0.
 
     backend: 'opencv' (StereoSGBM, SIMD, fastest), 'native' (the C++
-    census/SGM library in native/, the libelas replacement — correct but
-    currently scalar), or 'auto' (OpenCV if importable, else native)."""
+    AVX2 census/SGM library in native/, the libelas replacement —
+    depth-quality equivalent, ~9x slower than cv2 on a 2-core host;
+    BASELINE.md settlement table), or 'auto' (OpenCV if importable,
+    else native)."""
 
     def gray(im):
         return im if im.ndim == 2 else cv2.cvtColor(im, cv2.COLOR_BGR2GRAY)
