@@ -338,13 +338,21 @@ def test_local_mapping_driver(tmp_path):
     out = str(tmp_path / "on")
     k, nkf, nvox = local_mapping.run_sequence(
         d, params, out, max_frames=5, resolution=0.1, capacity=4096,
-        num_classes=3, keyframe_function_angle=0.99, log=lambda *a: None)
+        num_classes=3, keyframe_function_angle=0.99, denoise=False,
+        log=lambda *a: None)
     assert k == 5 and nkf >= 2 and nvox > 1000
     m = np.load(out + "_map.npz")
     assert m["centers"].shape == (nvox, 3)
     assert np.isfinite(m["centers"]).all()
     rows = np.loadtxt(out + "_traj.txt")
     assert rows.shape == (5, 8)
+    # the online trajectory must be metrically ACCURATE, not just present
+    # (round 4 found a pose-accumulation inversion this would have caught)
+    from unified_cvo_tpu.datasets.tum import read_tum_trajectory
+    from unified_cvo_tpu.utils.metrics import ate_rmse
+
+    _, est = read_tum_trajectory(out + "_traj.txt")
+    assert ate_rmse(traj, est) < 0.05, f"online ATE {ate_rmse(traj, est)}"
 
     gt = str(tmp_path / "gt.txt")
     with open(gt, "w") as f:

@@ -88,3 +88,60 @@ def test_irls_checkpoint_resume(tmp_path, rng):
     )
     assert np.isfinite(poses2).all()
     np.testing.assert_array_equal(poses2[0], init[0])
+
+
+def test_evaluate_ate_cli(tmp_path, capsys):
+    """The evaluate_ate_scale.py twin (apps/evaluate_ate): TUM + KITTI
+    inputs, plain and scale-aligned."""
+    from unified_cvo_tpu.apps.evaluate_ate import main
+    from unified_cvo_tpu.datasets.tum import write_tum_pose_row
+
+    rng = np.random.default_rng(0)
+    n = 10
+    gt = np.tile(np.eye(4), (n, 1, 1))
+    gt[:, 0, 3] = np.arange(n) * 0.5
+    est = gt.copy()
+    est[:, :3, 3] *= 1.1          # pure scale error
+    gt_p, est_p = str(tmp_path / "gt.txt"), str(tmp_path / "est.txt")
+    for path, traj in ((gt_p, gt), (est_p, est)):
+        with open(path, "w") as f:
+            for i, T in enumerate(traj):
+                write_tum_pose_row(f, f"{i:.1f}", T)
+    assert main([gt_p, est_p]) == 0
+    plain = float(capsys.readouterr().out.split()[2])
+    assert main([gt_p, est_p, "--scale"]) == 0
+    scaled = float(capsys.readouterr().out.split()[2])
+    # scale alignment removes the 10% scale error entirely
+    assert plain > 0.05 and scaled < 1e-6, (plain, scaled)
+
+    # KITTI 12-column input path
+    kit = str(tmp_path / "kitti.txt")
+    np.savetxt(kit, gt[:, :3, :].reshape(n, 12))
+    assert main([kit, kit, "--rpe"]) == 0
+    out = capsys.readouterr().out
+    assert "ate rmse: 0.000000" in out and "rpe rmse" in out
+
+
+def test_evaluate_semantics_devkit_twin(tmp_path, capsys):
+    """The pixel-level semantic evaluator (devkit/evaluation twin):
+    hand-checkable confusion matrix -> IoU, ignored labels excluded."""
+    from unified_cvo_tpu.apps.evaluate_semantics import (confusion_matrix,
+                                                         evaluate, main)
+
+    gt = np.array([0, 0, 1, 1, 2, 2, 2, 3])
+    pred = np.array([0, 1, 1, 1, 2, 0, 2, 3])
+    r = evaluate(gt, pred, num_classes=4)
+    # class 0: tp=1 fp=1 fn=1 -> 1/3; class 1: tp=2 fp=1 fn=0 -> 2/3
+    # class 2: tp=2 fp=0 fn=1 -> 2/3; class 3: tp=1 -> 1
+    np.testing.assert_allclose(r["iou"], [1 / 3, 2 / 3, 2 / 3, 1.0])
+    np.testing.assert_allclose(r["accuracy"], 6 / 8)
+    # ignoring class 3 drops its row entirely
+    conf = confusion_matrix(gt, pred, 4, ignore=[3])
+    assert conf[3].sum() == 0
+    # CLI on npy files
+    g, p = str(tmp_path / "g.npy"), str(tmp_path / "p.npy")
+    np.save(g, gt.reshape(2, 4))
+    np.save(p, pred.reshape(2, 4))
+    assert main([g, p, "--num-classes", "4"]) == 0
+    out = capsys.readouterr().out
+    assert "mean IoU: 0.6667" in out

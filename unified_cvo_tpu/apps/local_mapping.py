@@ -65,6 +65,7 @@ def run_sequence(
     capacity: int = CAPACITY,
     keyframe_function_angle: float = 0.6,
     window_size: int = 8,
+    denoise: bool = True,
     log=print,
 ):
     tum = TumHandler(seq_dir)
@@ -101,7 +102,8 @@ def run_sequence(
         rgb, depth = pair
         ts = tum.timestamp()
         tum.next()
-        cloud = pointcloud_from_rgbd(rgb, depth, calib, capacity=capacity)
+        cloud = pointcloud_from_rgbd(rgb, depth, calib, capacity=capacity,
+                                     denoise=denoise)
 
         if poses_given is not None:
             if k >= len(poses_given):
@@ -122,9 +124,14 @@ def run_sequence(
                 ig = np.linalg.inv(prev_rel)
                 T_rel, ret, info = align(
                     prev_cloud, cloud, jnp.asarray(ig, jnp.float32), params)
-                T_rel = np.asarray(T_rel)
-                # align returns target->source; the camera moved by inverse
-                rel = np.linalg.inv(T_rel)
+                T_rel = np.asarray(T_rel, np.float64)
+                # align returns the map taking target-frame points into the
+                # source frame == the new camera's pose in the previous
+                # camera frame; poses accumulate by RIGHT-multiplication
+                # (reference accum_mat *= result,
+                # main_cvo_gpu_align_raw_image.cpp:126; same convention as
+                # apps/kitti_odometry.py and apps/tum_odometry.py)
+                rel = T_rel
                 prev_rel = rel
                 kf_T = kf_T @ rel
                 world_T = world_T @ rel
@@ -201,11 +208,12 @@ def main(argv=None):
     ap.add_argument("--resolution", type=float, default=0.1)
     ap.add_argument("--map-ell", type=float, default=0.3)
     ap.add_argument("--capacity", type=int, default=CAPACITY)
+    ap.add_argument("--no-denoise", action="store_true")
     args = ap.parse_args(argv)
     run_sequence(args.seq_dir, args.param_file, args.out_prefix,
                  trajectory=args.trajectory, max_frames=args.max_frames,
                  resolution=args.resolution, map_ell=args.map_ell,
-                 capacity=args.capacity)
+                 capacity=args.capacity, denoise=not args.no_denoise)
 
 
 if __name__ == "__main__":

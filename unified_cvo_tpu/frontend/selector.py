@@ -125,22 +125,54 @@ def _dso_select_pot(gs: np.ndarray, ths_sm: np.ndarray, pot: int,
     return np.stack([cx * pot + ox, cy * pot + oy], axis=1).astype(np.int32)
 
 
+def _dso_make_heat_maps(gs, ths_sm, num_want, pot, recursions_left):
+    """makeHeatMaps (CvoPixelSelector.cpp:152-266): select at the current
+    potential, then adapt it with DSO's ideal-potential model
+    (selected-count ~ K/(pot+1)^2) and recurse while the yield is >1.25x or
+    <0.25x the budget. Returns (uv, final potential).
+
+    Faithfulness notes on the reference's own dead code: the multi-scale
+    pyramid levels 1-2 of select() are commented out in the reference
+    source (:374-395), setting_selectDirectionDistribution is false (:47)
+    so the direction-random patterns never affect the ranking, and the
+    quotia<0.95 random thinning (:245-263) zeroes map_out but does NOT
+    filter output_uv — the wrapper consumes output_uv, so the thinning has
+    no effect on the selected set. None of those paths are live behavior.
+    """
+    uv = _dso_select_pot(gs, ths_sm, pot)
+    num_have = max(len(uv), 1)
+    quotia = num_want / num_have
+    ideal = int(np.sqrt(num_have * (pot + 1) ** 2 / num_want) - 1)
+    ideal = max(ideal, 1)
+    if recursions_left > 0 and quotia > 1.25 and pot > 1:
+        if ideal >= pot:
+            ideal = pot - 1
+        return _dso_make_heat_maps(gs, ths_sm, num_want, ideal,
+                                   recursions_left - 1)
+    if recursions_left > 0 and quotia < 0.25:
+        if ideal <= pot:
+            ideal = pot + 1
+        return _dso_make_heat_maps(gs, ths_sm, num_want, ideal,
+                                   recursions_left - 1)
+    return uv, pot
+
+
 def dso_select_pixels(raw: RawImage, num_want: int):
     """The DSO semi-dense pixel selector, transcribed from the reference's
-    dso_select_pixels wrapper (CvoPixelSelector.cpp:430-463): start at grid
-    potential 3; while too many points are returned grow the potential (up to
-    5 retries); if fewer than 2/3 of the budget remain, back off two steps."""
+    dso_select_pixels wrapper (CvoPixelSelector.cpp:430-463): makeHeatMaps
+    at potential 3 with 3 adaptation recursions; while too many points come
+    back, retry at growing potentials (up to 5 tries); if fewer than 2/3 of
+    the budget remain, back off two steps."""
     gs = raw.gradient_square
     ths_sm = _dso_block_thresholds(gs)
-    pot = 3
-    uv = _dso_select_pot(gs, ths_sm, pot)
+    uv, pot = _dso_make_heat_maps(gs, ths_sm, num_want, 3, 3)
     times = 1
     while len(uv) > num_want and times < 5:
-        pot += 1
-        uv = _dso_select_pot(gs, ths_sm, pot)
+        uv, pot = _dso_make_heat_maps(gs, ths_sm, num_want, 3 + times, 3)
         times += 1
-    if len(uv) < num_want * 2 // 3 and pot > 3:
-        uv = _dso_select_pot(gs, ths_sm, max(pot - 2, 1))
+    if len(uv) < num_want * 2 // 3:
+        uv, pot = _dso_make_heat_maps(gs, ths_sm, num_want,
+                                      max(3 + times - 2, 1), 3)
     gtype = np.tile(np.array([[0.9, 0.1]], np.float32), (len(uv), 1))
     return uv, gtype
 

@@ -94,7 +94,8 @@ def _edge_blocks_pg(R, t, fi, fj, Rz, tz, weights):
     return res, H_aa, H_bb, H_ab, b_a, b_b
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "solver", "cg_iters"))
+@functools.partial(jax.jit, static_argnames=("iters", "solver", "cg_iters",
+                                              "robust_delta"))
 def optimize_pose_graph(
     poses: jax.Array,          # [F,4,4]
     fi: jax.Array,             # [E] i32
@@ -107,6 +108,7 @@ def optimize_pose_graph(
     prior: Optional[dict] = None,
     solver: str = "dense",
     cg_iters: int = 150,
+    robust_delta: Optional[float] = None,
 ):
     """Weighted GN over the pose graph. Returns optimized poses [F,4,4].
 
@@ -137,12 +139,26 @@ def optimize_pose_graph(
     tz = Z[:, :3, 3]
     free = (1.0 - fixed_mask)[:, None]
 
+    def _blocks(R, t):
+        """Per-edge blocks, optionally Huber-reweighted (the GTSAM robust
+        noise-model analogue): edges whose residual norm exceeds
+        robust_delta are downweighted by delta/||r||, so a few bad
+        odometry edges absorb a loop-closure discrepancy instead of
+        bending the whole trajectory. IRLS: weights recompute from the
+        CURRENT residuals at every GN iteration."""
+        if robust_delta is None:
+            return _edge_blocks_pg(R, t, fi, fj, Rz, tz, weights)
+        zero = jnp.zeros((poses.shape[0], 6), jnp.float32)
+        res0 = _factor_residuals((R, t), zero, fi, fj, (Rz, tz))
+        rn = jnp.linalg.norm(res0, axis=1)
+        w_r = jnp.where(rn > robust_delta, robust_delta / jnp.maximum(rn, 1e-12), 1.0)
+        return _edge_blocks_pg(R, t, fi, fj, Rz, tz, weights * w_r)
+
     def body_cg(carry, _):
         from unified_cvo_tpu.models.irls import _solve_cg_blocks
 
         R, t = carry
-        res, H_aa, H_bb, H_ab, b_a, b_b = _edge_blocks_pg(
-            R, t, fi, fj, Rz, tz, weights)
+        res, H_aa, H_bb, H_ab, b_a, b_b = _blocks(R, t)
         b = (jnp.zeros((F, 6), jnp.float32)
              .at[fi].add(b_a).at[fj].add(b_b))
         free6f = jnp.tile(jnp.ones((6,), jnp.float32), (F, 1)) * free
@@ -155,8 +171,7 @@ def optimize_pose_graph(
 
     def body(carry, _):
         R, t = carry
-        res, H_aa, H_bb, H_ab, b_a, b_b = _edge_blocks_pg(
-            R, t, fi, fj, Rz, tz, weights)
+        res, H_aa, H_bb, H_ab, b_a, b_b = _blocks(R, t)
         # scatter the 6x6 blocks into the dense [F,F,6,6] -> [6F,6F] system
         Hb = (jnp.zeros((F, F, 6, 6), jnp.float32)
               .at[fi, fi].add(H_aa)
@@ -202,6 +217,8 @@ class PoseGraphConfig:
     solver: str = "auto"       # 'auto' = dense up to 64 in-window keyframes,
     #   matrix-free block-PCG beyond (full-batch long trajectories);
     #   windows with a marginal prior always solve dense (bounded size)
+    robust_delta: Optional[float] = None   # Huber threshold [tangent norm]
+    #   for robust edge reweighting (None = pure least squares)
 
 
 class PoseGraph:
@@ -415,7 +432,7 @@ class PoseGraph:
         out, _ = optimize_pose_graph(
             poses, fi, fj, Z, w, jnp.asarray(fixed),
             iters=self.config.optimize_iters, prior=prior_local,
-            solver=solver,
+            solver=solver, robust_delta=self.config.robust_delta,
         )
         out = np.asarray(out, np.float64)
         for k in range(Fw):                    # skip the identity padding

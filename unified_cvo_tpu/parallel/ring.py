@@ -43,9 +43,15 @@ def ring_flow_stats(params, ell, x_shard: PointCloud, y_shard: PointCloud,
 
     def body(carry, _):
         (y_cur, s, w, cnt, asum) = carry
+        # issue the ring rotation BEFORE the kernel math: y_next and the
+        # flow stats both depend only on y_cur, so the collective permute
+        # and this step's compute are dataflow-independent and XLA's async
+        # collective scheduling can overlap them (communication hides
+        # behind the N/P x M/P kernel block; PERF.md ring note)
+        y_next = _rotate_cloud(y_cur, axis)
         st = kernels.flow_stats(params, ell, x_shard, y_cur, chunk)
         carry = (
-            _rotate_cloud(y_cur, axis),
+            y_next,
             s + st.row_sum,
             w + st.row_wy,
             cnt + st.nonzeros,
@@ -71,8 +77,10 @@ def ring_step_coeffs(params, ell, x_shard: PointCloud, y_shard: PointCloud,
 
     def body(carry, _):
         y_cur, B, C, D, E = carry
+        y_next = _rotate_cloud(y_cur, axis)   # independent of this step's
+        #   coefficients -> overlappable (see ring_flow_stats note)
         b, c, d, e = kernels.step_coeffs(params, ell, x_shard, y_cur, twist, chunk)
-        return (_rotate_cloud(y_cur, axis), B + b, C + c, D + d, E + e), None
+        return (y_next, B + b, C + c, D + d, E + e), None
 
     z = jnp.zeros((), jnp.float32)
     (_, B, C, D, E), _ = lax.scan(body, (y_shard, z, z, z, z), None, length=n_steps)

@@ -89,6 +89,72 @@ def corridor_scene(seed: int = 0, length: float = 60.0,
     ]
 
 
+def _box_occluder(center: np.ndarray, half: np.ndarray,
+                  rng: np.random.Generator,
+                  tex_scale: float = 0.04) -> List[Plane]:
+    """Axis-aligned textured box (pillar/crate): six bounded planes. The
+    renderer keeps the nearest hit, so boxes OCCLUDE the room behind them —
+    the occlusion / parallax stressor VERDICT r3 task 7 asks for."""
+    planes = []
+    t = lambda: _texture(256, 256, rng)
+    for axis in range(3):
+        ta, tb = [a for a in range(3) if a != axis]
+        bounds = ((center[ta] - half[ta], center[ta] + half[ta]),
+                  (center[tb] - half[tb], center[tb] + half[tb]))
+        for sgn in (-1.0, 1.0):
+            planes.append(Plane(axis, float(center[axis] + sgn * half[axis]),
+                                (ta, tb), t(), tex_scale, bounds))
+    return planes
+
+
+def room_scene(seed: int = 0, half: float = 6.0, floor_y: float = 1.6,
+               ceil_y: float = -2.2, tex_scale: float = 0.04,
+               n_pillars: int = 3) -> List[Plane]:
+    """A closed textured square room with free-standing pillar occluders —
+    the loop-closure scene (a circular trajectory inside it re-observes the
+    start, and the pillars create occlusion boundaries and parallax)."""
+    rng = np.random.default_rng(seed)
+    t = lambda: _texture(512, 512, rng)
+    planes = [
+        Plane(1, floor_y, (0, 2), t(), tex_scale, ((-half, half), (-half, half))),
+        Plane(1, ceil_y, (0, 2), t(), tex_scale, ((-half, half), (-half, half))),
+        Plane(0, -half, (1, 2), t(), tex_scale, ((ceil_y, floor_y), (-half, half))),
+        Plane(0, half, (1, 2), t(), tex_scale, ((ceil_y, floor_y), (-half, half))),
+        Plane(2, -half, (0, 1), t(), tex_scale, ((-half, half), (ceil_y, floor_y))),
+        Plane(2, half, (0, 1), t(), tex_scale, ((-half, half), (ceil_y, floor_y))),
+    ]
+    for p in range(n_pillars):
+        ang = 2.0 * np.pi * p / max(n_pillars, 1) + 0.5
+        r = half * 0.55
+        c = np.array([r * np.cos(ang), (floor_y + ceil_y) / 2.0,
+                      r * np.sin(ang)])
+        planes += _box_occluder(
+            c, np.array([0.35, (floor_y - ceil_y) / 2.0, 0.35]), rng,
+            tex_scale)
+    return planes
+
+
+def loop_trajectory(n_frames: int, radius: float = 2.5,
+                    bob: float = 0.01) -> np.ndarray:
+    """[N,4,4] camera-to-world poses on a full circle, camera facing along
+    the tangent — the final pose re-observes the first frame's view (the
+    loop-closure fixture; 50+ frames exercises long-sequence drift)."""
+    poses = np.tile(np.eye(4, dtype=np.float64), (n_frames, 1, 1))
+    for i in range(n_frames):
+        theta = 2.0 * np.pi * i / n_frames
+        c, s = np.cos(theta), np.sin(theta)
+        # position on the circle; forward (camera z) along the tangent
+        pos = np.array([radius * c, bob * np.sin(0.9 * i), radius * s])
+        fwd = np.array([-s, 0.0, c])
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(up, fwd)
+        poses[i, :3, 0] = right
+        poses[i, :3, 1] = up
+        poses[i, :3, 2] = fwd
+        poses[i, :3, 3] = pos
+    return poses
+
+
 def corridor_trajectory(n_frames: int, step: float = 0.3,
                         yaw_rate: float = 0.01, bob: float = 0.01) -> np.ndarray:
     """[N,4,4] camera-to-world poses: forward motion with a slow yaw turn
@@ -196,11 +262,17 @@ def write_kitti_sequence(out_dir: str, scene: Sequence[Plane],
 
 
 def write_tum_sequence(out_dir: str, scene: Sequence[Plane],
-                       trajectory: np.ndarray, calib: Calibration) -> np.ndarray:
+                       trajectory: np.ndarray, calib: Calibration,
+                       depth_noise: float = 0.0,
+                       seed: int = 0) -> np.ndarray:
     """Render + write <out_dir>/{rgb,depth}/*.png, assoc.txt, cvo_calib.txt
-    (the TumHandler layout, datasets/tum.py). Returns ground truth poses."""
+    (the TumHandler layout, datasets/tum.py). Returns ground truth poses.
+
+    depth_noise: per-pixel Gaussian sigma in metres added to the rendered
+    depth (sensor-noise stressor, VERDICT r3 task 7)."""
     import cv2
 
+    rng = np.random.default_rng(seed)
     os.makedirs(os.path.join(out_dir, "rgb"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "depth"), exist_ok=True)
     with open(os.path.join(out_dir, "cvo_calib.txt"), "w") as f:
@@ -209,6 +281,12 @@ def write_tum_sequence(out_dir: str, scene: Sequence[Plane],
     assoc = open(os.path.join(out_dir, "assoc.txt"), "w")
     for i, T in enumerate(trajectory):
         bgr, depth = render_frame(scene, calib, T)
+        if depth_noise > 0:
+            depth = np.where(
+                depth > 0,
+                depth + rng.normal(0, depth_noise, depth.shape).astype(
+                    np.float32),
+                depth)
         ts = f"{1000.0 + 0.1 * i:.4f}"
         cv2.imwrite(os.path.join(out_dir, "rgb", f"{ts}.png"), bgr)
         d16 = np.clip(depth * calib.depth_scale, 0, 65535).astype(np.uint16)
