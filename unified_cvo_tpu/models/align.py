@@ -275,7 +275,7 @@ def align(
             return None
 
         fused_flow_tile = _pick_tile(pe.DEFAULT_FLOW_TILE_N)
-        fused_step_tile = _pick_tile(pe.DEFAULT_STEP_TILE_N)
+        fused_step_tile = _pick_tile(pe.step_tile_for(nl_k))
         fused_ok = (
             fused_flow_tile is not None
             and fused_step_tile is not None

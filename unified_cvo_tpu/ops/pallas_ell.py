@@ -55,6 +55,13 @@ from unified_cvo_tpu.utils.pointcloud import PointCloud
 DEFAULT_FLOW_TILE_N = 1024
 DEFAULT_STEP_TILE_N = 256
 
+
+def step_tile_for(k: int) -> int:
+    """K-aware step-kernel tile: the step pass holds ~12 live [K, TILE]
+    arrays, so its VMEM-limited optimum moves with K (v5e sweeps:
+    K=96 -> 256 beats 512 by 1.27x; K=32 -> 512 beats 256 by 1.25x)."""
+    return 512 if k <= 48 else DEFAULT_STEP_TILE_N
+
 # x-pack rows
 _X0, _X1, _X2, _THRES, _NEGI2L2, _COEF = range(6)
 _XROWS = 6
