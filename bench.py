@@ -120,6 +120,8 @@ def main():
     backend = os.environ.get("BENCH_BACKEND", "auto")
     nl_builder = os.environ.get("BENCH_NL_BUILDER") or None
     nl_k = int(os.environ["BENCH_NL_K"]) if "BENCH_NL_K" in os.environ else None
+    nl_per_cell = (int(os.environ["BENCH_NL_PER_CELL"])
+                   if "BENCH_NL_PER_CELL" in os.environ else None)
     # Hard iteration cap: an unbounded while_loop dispatched to the TPU
     # cannot be cancelled and would hold the chip for minutes.
     max_iter = int(os.environ.get("BENCH_MAX_ITER", 1500))
@@ -148,7 +150,7 @@ def main():
             T_rel, ret, info = align(
                 frames[k], frames[k + 1], guess, params, chunk=chunk,
                 max_iter=max_iter, backend=backend, nl_builder=nl_builder,
-                nl_k=nl_k,
+                nl_k=nl_k, nl_per_cell=nl_per_cell,
             )
             # constant-velocity warm start, device-resident. align returns
             # the target->source map and takes the inverse convention as its
@@ -190,6 +192,7 @@ def main():
     T1, ret1, info1 = align(
         frames[0], frames[1], ig1, params, chunk=chunk, max_iter=max_iter,
         backend=backend, nl_builder=nl_builder, nl_k=nl_k,
+        nl_per_cell=nl_per_cell,
     )
     np.asarray(T1)
     log(f"single-pair latency: {(time.time()-t0)*1e3:.1f} ms "

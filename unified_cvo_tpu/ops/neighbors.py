@@ -219,18 +219,24 @@ def build_neighbor_list(
     # the per-iteration cost; 27 cells of size r+skin is the lean cover),
     # pulled as whole cell rows then reduced to the K nearest
     cbase = jnp.clip(jnp.floor((x.xyz - lo) / cell).astype(jnp.int32), 0, clip_hi)
+    # a single-cell axis (anisotropic grid) covers its whole span, so that
+    # axis needs no +-1 offsets — a (gx, 1, gz) grid pulls a 9-cell pool
+    # (3x fewer gather indices; gathers cost per index)
+    axis_offs = [(-1, 0, 1) if d > 1 else (0,) for d in (gx, gy, gz)]
     offs = jnp.asarray(
-        [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-         for dz in (-1, 0, 1)], jnp.int32)                  # [27,3]
-    cnb = cbase[:, None, :] + offs[None, :, :]              # [N,27,3]
+        [[dx, dy, dz] for dx in axis_offs[0] for dy in axis_offs[1]
+         for dz in axis_offs[2]], jnp.int32)                # [n_off,3]
+    n_off = offs.shape[0]
+    cnb = cbase[:, None, :] + offs[None, :, :]              # [N,n_off,3]
     in_grid = jnp.all((cnb >= 0) & (cnb < jnp.asarray([gx, gy, gz])), axis=-1)
     cid = (cnb[..., 0] * gy + cnb[..., 1]) * gz + cnb[..., 2]
     cid = jnp.where(in_grid, cid, n_cells)                  # empty sentinel bucket
 
-    pool = tab[cid.reshape(-1)].reshape(N, 27, 4 * P)       # [N,27,4P]
-    # component extraction = static column-block slices -> [N, 27P] arrays
-    # (lane-aligned; no minor-dim-4 anywhere)
-    comp = [pool[:, :, c * P:(c + 1) * P].reshape(N, 27 * P) for c in range(4)]
+    pool = tab[cid.reshape(-1)].reshape(N, n_off, 4 * P)    # [N,n_off,4P]
+    # component extraction = static column-block slices -> [N, n_off*P]
+    # arrays (lane-aligned; no minor-dim-4 anywhere)
+    comp = [pool[:, :, c * P:(c + 1) * P].reshape(N, n_off * P)
+            for c in range(4)]
     cand = comp[3].astype(jnp.int32)                        # -1 = empty slot
     yc_raw_c = comp[:3]                                     # 3 x [N,27P]
     yc_t = [yc_raw_c[0] * R_inv[c, 0] + yc_raw_c[1] * R_inv[c, 1]
