@@ -57,6 +57,32 @@ def test_candidate_list_superset_of_support(rng):
     assert not missing.any(), f"{missing.sum()} support pairs missing"
 
 
+def test_candidate_list_anisotropic_grid_superset(rng):
+    """A (gx, 1, gz) grid collapses the y axis to one cell (no +-1 y
+    offsets, 9-cell pool); the list must still be a support superset."""
+    params = _params()
+    xyz = _scene(rng)
+    xyz2 = _scene(rng) + np.float32([0.1, 0.0, 0.2])
+    src = make_pointcloud(xyz, bucket=512)
+    tgt = make_pointcloud(xyz2, bucket=512)
+    R = jnp.eye(3)
+    T = jnp.zeros(3)
+    ell = jnp.float32(params.ell_init)
+    nl = nbr.build_neighbor_list(params, ell, src, tgt, R, T, k=192,
+                                 skin=0.3, per_cell_cap=64,
+                                 grid_dims=(16, 1, 16))
+    assert int(nl.overflow) == 0
+    a_dense = np.asarray(kernels.kernel_block(params, ell, src, tgt))
+    idx = np.asarray(nl.idx).T
+    listed = np.zeros_like(a_dense, dtype=bool)
+    rows = np.repeat(np.arange(idx.shape[0]), idx.shape[1])
+    cols = idx.reshape(-1)
+    ok = cols >= 0
+    listed[rows[ok], cols[ok]] = True
+    missing = (a_dense > 0) & ~listed
+    assert not missing.any(), f"{missing.sum()} support pairs missing"
+
+
 def test_ell_passes_match_dense_oracle(rng):
     params = _params()
     xyz = _scene(rng)

@@ -142,6 +142,7 @@ def build_neighbor_list(
     k: int = DEFAULT_K,
     skin: float = DEFAULT_SKIN,
     per_cell_cap: int = PER_CELL_CAP,
+    grid_dims: Tuple[int, int, int] = GRID_DIMS,
 ) -> NeighborList:
     """Grid-bucketed candidate search around each source point.
 
@@ -156,7 +157,7 @@ def build_neighbor_list(
     N = x.capacity
     M = target.capacity
     P = per_cell_cap
-    gx, gy, gz = GRID_DIMS
+    gx, gy, gz = grid_dims
     n_cells = gx * gy * gz
 
     # per-component transform: EXACTLY the arithmetic drift_exceeded uses,
