@@ -403,26 +403,23 @@ int cvo_sgm_disparity(const uint8_t* left, const uint8_t* right, int h, int w,
           }
           disp_l[y * w + x] = d;
         }
-        // right disparity by winner projection: each left winner claims
-        // its right-image pixel; conflicts keep the lower aggregated cost
-        // (an O(w) substitute for the O(w*D) strided cost_r scan — the
-        // occlusion semantics of the LR check are preserved because the
-        // nearer, cheaper surface wins the contested right pixel)
-        {
-          float* dr = disp_r.data() + static_cast<size_t>(y) * w;
-          std::vector<uint32_t> rc(w, std::numeric_limits<uint32_t>::max());
-          for (int x = 0; x < w; ++x) {
-            float dl = disp_l[y * w + x];
-            if (dl < 0) continue;
-            int xr = x - static_cast<int>(dl + 0.5f);
-            if (xr < 0) continue;
-            uint32_t bc2 = agg[(static_cast<size_t>(y) * w + x) * D +
-                               static_cast<int>(dl + 0.5f)];
-            if (bc2 < rc[xr]) {
-              rc[xr] = bc2;
-              dr[xr] = dl;
-            }
+        // right disparity from the same aggregated volume:
+        // cost_r(xr, d) = cost_l(xr + d, d). An O(w) winner-projection
+        // substitute was tried in round 4 and REVERTED: a left pixel whose
+        // wrong match lands on an uncontested right pixel would compare
+        // against itself and trivially pass the LR check (half-occluded
+        // background pixels at occlusion edges), and the projection saved
+        // no measurable wall time.
+        for (int x = 0; x < w; ++x) {
+          uint32_t bc2 = std::numeric_limits<uint32_t>::max();
+          int best2 = -1;
+          for (int d = 0; d < D; ++d) {
+            int xl = x + d;
+            if (xl >= w) break;
+            uint32_t v = agg[(static_cast<size_t>(y) * w + xl) * D + d];
+            if (v < bc2) { bc2 = v; best2 = d; }
           }
+          if (best2 >= 0) disp_r[y * w + x] = static_cast<float>(best2);
         }
       }
     };

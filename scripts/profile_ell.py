@@ -126,9 +126,11 @@ def main():
             ind, ip, params.indicator_stable_threshold)
         ell2 = jnp.where(decrease, jnp.maximum(
             ellc * params.ell_decay_rate, params.ell_min), ellc)
-        # drift check (as in inner_cond)
+        # drift check (as in inner_cond); the carry must DEPEND on it or
+        # XLA dead-code-eliminates the bound entirely (a jnp.where with
+        # identical branches constant-folds)
         drift = nbr.drift_bound_exceeded(nl, Ri, Ti, nbr.DEFAULT_SKIN)
-        ell2 = ell2 + jnp.where(drift, 0.0, 0.0) + dist * 1e-30
+        ell2 = ell2 + drift.astype(jnp.float32) * 1e-30 + dist * 1e-30
         # keep the pose stationary so the loop stays in-regime
         keep = jnp.float32(1e-30)
         return (R + (R2 - R) * keep, T + (T2 - T) * keep, ell2, ind2)

@@ -138,6 +138,12 @@ def test_evaluate_semantics_devkit_twin(tmp_path, capsys):
     # ignoring class 3 drops its row entirely
     conf = confusion_matrix(gt, pred, 4, ignore=[3])
     assert conf[3].sum() == 0
+    # an INVALID prediction on a valid-GT pixel counts as an error (extra
+    # column), not an excluded pixel — a 255-spamming predictor must score 0
+    r255 = evaluate(np.array([0, 1, 2]), np.array([255, 255, 255]),
+                    num_classes=3)
+    assert r255["accuracy"] == 0.0
+    np.testing.assert_allclose(r255["iou"], [0.0, 0.0, 0.0])
     # CLI on npy files
     g, p = str(tmp_path / "g.npy"), str(tmp_path / "p.npy")
     np.save(g, gt.reshape(2, 4))

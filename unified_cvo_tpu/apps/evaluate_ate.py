@@ -22,21 +22,7 @@ import argparse
 import numpy as np
 
 from unified_cvo_tpu.utils.metrics import ate_rmse, rpe_rmse
-
-
-def load_trajectory(path: str) -> np.ndarray:
-    """[N,4,4] poses from a TUM (8-col) or KITTI (12-col) file."""
-    with open(path) as f:
-        first = f.readline().split()
-    if len(first) >= 12:
-        rows = np.atleast_2d(np.loadtxt(path))
-        out = np.tile(np.eye(4), (len(rows), 1, 1))
-        out[:, :3, :] = rows[:, -12:].reshape(-1, 3, 4)
-        return out
-    from unified_cvo_tpu.datasets.tum import read_tum_trajectory
-
-    _, poses = read_tum_trajectory(path)
-    return poses
+from unified_cvo_tpu.utils.trajectory import align_trajectories
 
 
 def main(argv=None) -> int:
@@ -49,18 +35,24 @@ def main(argv=None) -> int:
                     help="also print relative pose error")
     ap.add_argument("--delta", type=int, default=1,
                     help="RPE frame gap")
+    ap.add_argument("--max-difference", type=float, default=0.02,
+                    help="timestamp association window [s] for stamped "
+                         "(TUM) inputs, as in evaluate_ate_scale.py")
     args = ap.parse_args(argv)
-    gt = load_trajectory(args.gt)
-    est = load_trajectory(args.est)
-    n = min(len(gt), len(est))
+    # stamped inputs are associated by nearest timestamp (TUM mocap GT is
+    # ~100 Hz vs per-frame estimates — index pairing would be meaningless);
+    # unstamped (KITTI) inputs pair by row index
+    gt, est = align_trajectories(args.gt, args.est,
+                                 max_difference=args.max_difference)
+    n = len(gt)
     if n < 2:
-        print("need at least 2 poses")
+        print("need at least 2 associated poses")
         return 1
-    ate = ate_rmse(gt[:n], est[:n], with_scale=args.scale)
+    ate = ate_rmse(gt, est, with_scale=args.scale)
     print(f"ate rmse: {ate:.6f} m"
           + (" (scale-aligned)" if args.scale else ""))
     if args.rpe:
-        rpe = rpe_rmse(gt[:n], est[:n], delta=args.delta)
+        rpe = rpe_rmse(gt, est, delta=args.delta)
         print(f"rpe rmse (delta={args.delta}): {rpe:.6f} m")
     return 0
 

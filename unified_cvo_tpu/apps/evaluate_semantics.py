@@ -27,25 +27,32 @@ import numpy as np
 
 def confusion_matrix(gt: np.ndarray, pred: np.ndarray, num_classes: int,
                      ignore: Sequence[int] = ()) -> np.ndarray:
-    """[C, C] confusion matrix, rows = ground truth, cols = prediction.
-    Pixels whose GT label is in `ignore` (or out of range) are excluded —
-    the devkit's ignoreInEval semantics."""
+    """[C, C+1] confusion matrix, rows = ground truth, cols = prediction;
+    the extra column C collects INVALID predictions (out of
+    [0, num_classes)) on valid-GT pixels — they count as errors (false
+    negatives), exactly as the devkit treats predictions of non-evaluated
+    labels. Only pixels whose GT label is ignored or out of range are
+    excluded (ignoreInEval semantics)."""
     gt = np.asarray(gt).reshape(-1).astype(np.int64)
     pred = np.asarray(pred).reshape(-1).astype(np.int64)
-    keep = (gt >= 0) & (gt < num_classes) & (pred >= 0) & (pred < num_classes)
+    keep = (gt >= 0) & (gt < num_classes)
     for ig in ignore:
         keep &= gt != ig
     gt, pred = gt[keep], pred[keep]
-    return np.bincount(gt * num_classes + pred,
-                       minlength=num_classes * num_classes).reshape(
-                           num_classes, num_classes)
+    pred = np.where((pred >= 0) & (pred < num_classes), pred, num_classes)
+    return np.bincount(gt * (num_classes + 1) + pred,
+                       minlength=num_classes * (num_classes + 1)).reshape(
+                           num_classes, num_classes + 1)
 
 
 def iou_per_class(conf: np.ndarray) -> np.ndarray:
     """IoU_c = tp / (tp + fp + fn) (getIouScoreForLabel); NaN where the
-    class never appears in GT or prediction."""
-    tp = np.diag(conf).astype(np.float64)
-    fp = conf.sum(0) - tp
+    class never appears in GT or prediction. `conf` is [C, C+1]: row sums
+    (fn) include the invalid-prediction column, so an invalid prediction
+    on a valid-GT pixel lowers that class's IoU."""
+    C = conf.shape[0]
+    tp = np.diag(conf[:, :C]).astype(np.float64)
+    fp = conf[:, :C].sum(0) - tp
     fn = conf.sum(1) - tp
     denom = tp + fp + fn
     with np.errstate(invalid="ignore", divide="ignore"):
@@ -56,8 +63,9 @@ def evaluate(gt: np.ndarray, pred: np.ndarray, num_classes: int,
              ignore: Sequence[int] = ()) -> dict:
     conf = confusion_matrix(gt, pred, num_classes, ignore)
     ious = iou_per_class(conf)
-    total = conf.sum()
-    acc = float(np.diag(conf).sum() / total) if total else float("nan")
+    total = conf.sum()   # includes invalid predictions -> they hurt accuracy
+    acc = (float(np.diag(conf[:, :num_classes]).sum() / total)
+           if total else float("nan"))
     miou = float(np.nanmean(ious)) if np.isfinite(ious).any() else float("nan")
     return {"confusion": conf, "iou": ious, "mean_iou": miou,
             "accuracy": acc}

@@ -36,20 +36,11 @@ CAPACITY = 8192
 
 
 def _load_trajectory(path: str):
-    """TUM (8 cols) or KITTI (12 cols) trajectory -> list of [4, 4] poses."""
-    with open(path) as f:
-        first = f.readline().split()
-    if len(first) >= 12:
-        rows = np.atleast_2d(np.loadtxt(path))
-        poses = []
-        for r in rows:
-            T = np.eye(4)
-            T[:3, :] = r[-12:].reshape(3, 4)
-            poses.append(T)
-        return poses
-    from unified_cvo_tpu.datasets.tum import read_tum_trajectory
+    """TUM (8 cols) or KITTI (12 cols) trajectory -> list of [4, 4] poses
+    (shared sniffing lives in utils.trajectory.load_trajectory)."""
+    from unified_cvo_tpu.utils.trajectory import load_trajectory
 
-    _, poses = read_tum_trajectory(path)
+    _, poses = load_trajectory(path)
     return list(poses)
 
 
