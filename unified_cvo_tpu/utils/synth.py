@@ -58,10 +58,12 @@ def _sample_bilinear(tex: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarra
     th, tw = tex.shape[:2]
     x = np.mod(x, tw)
     y = np.mod(y, th)
-    x0 = np.floor(x).astype(np.int64)
-    y0 = np.floor(y).astype(np.int64)
-    fx = (x - x0)[..., None]
-    fy = (y - y0)[..., None]
+    # mod(-eps, tw) rounds to exactly tw for tiny negative inputs — take
+    # the index modulo AFTER the floor so x0/y0 always land in range
+    x0 = np.floor(x).astype(np.int64) % tw
+    y0 = np.floor(y).astype(np.int64) % th
+    fx = (x - np.floor(x))[..., None]
+    fy = (y - np.floor(y))[..., None]
     x1 = (x0 + 1) % tw
     y1 = (y0 + 1) % th
     c00 = tex[y0, x0]
@@ -218,6 +220,79 @@ def render_stereo(scene: Sequence[Plane], calib: Calibration,
     T_right[:3, 3] = T_wc[:3, 3] + T_wc[:3, 0] * abs(calib.baseline)
     right, _ = render_frame(scene, calib, T_right)
     return left, right, depth
+
+
+def render_lidar_scan(scene: Sequence[Plane], T_wl: np.ndarray,
+                      n_beams: int = 32, n_az: int = 900,
+                      fov_deg: Tuple[float, float] = (-20.0, 8.0),
+                      max_range: float = 60.0,
+                      noise: float = 0.0,
+                      seed: int = 0) -> np.ndarray:
+    """Ray-cast one spherical lidar scan. Returns [N,4] (xyz in the SENSOR
+    frame — same camera-style axes as render_frame: x right / y down /
+    z forward — plus intensity sampled from the hit surface's texture).
+    Rays with no hit within max_range are dropped.
+
+    The velodyne-style beam lattice: n_beams elevation rings over fov_deg
+    (degrees, camera-y-down convention: negative = up) x n_az azimuth
+    steps around the y axis."""
+    rng = np.random.default_rng(seed)
+    el = np.deg2rad(np.linspace(fov_deg[0], fov_deg[1], n_beams))
+    az = np.linspace(-np.pi, np.pi, n_az, endpoint=False)
+    azg, elg = np.meshgrid(az, el)
+    # sensor-frame directions: azimuth about +y (down), elevation toward +y
+    d_sens = np.stack([
+        np.cos(elg) * np.sin(azg),
+        np.sin(elg),
+        np.cos(elg) * np.cos(azg),
+    ], axis=-1).reshape(-1, 3)
+    R_wl = T_wl[:3, :3]
+    o = T_wl[:3, 3]
+    d_world = d_sens @ R_wl.T
+
+    best_t = np.full(len(d_sens), np.inf)
+    inten = np.zeros(len(d_sens), np.float32)
+    for pl in scene:
+        denom = d_world[:, pl.axis]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (pl.offset - o[pl.axis]) / denom
+            t = np.where(np.abs(denom) > 1e-12, t, np.inf)
+            t = np.where(t > 0.2, t, np.inf)
+            hit_a = o[pl.tangent[0]] + t * d_world[:, pl.tangent[0]]
+            hit_b = o[pl.tangent[1]] + t * d_world[:, pl.tangent[1]]
+        (a_lo, a_hi), (b_lo, b_hi) = pl.bounds
+        ok = ((t < best_t) & (hit_a >= a_lo) & (hit_a <= a_hi)
+              & (hit_b >= b_lo) & (hit_b <= b_hi))
+        if not ok.any():
+            continue
+        texel = _sample_bilinear(
+            pl.texture, hit_a[ok] / pl.tex_scale, hit_b[ok] / pl.tex_scale)
+        inten[ok] = texel.mean(-1).astype(np.float32) / 255.0
+        best_t = np.where(ok, t, best_t)
+    hit = np.isfinite(best_t) & (best_t < max_range)
+    pts = d_sens[hit] * best_t[hit, None]
+    if noise > 0:
+        pts = pts + rng.normal(0, noise, pts.shape)
+    return np.concatenate([pts.astype(np.float32),
+                           inten[hit, None]], axis=1)
+
+
+def write_kitti_lidar_sequence(out_dir: str, scene: Sequence[Plane],
+                               trajectory: np.ndarray,
+                               n_beams: int = 32, n_az: int = 900,
+                               noise: float = 0.0) -> np.ndarray:
+    """Render + write <out_dir>/velodyne/%06d.bin in the KITTI raw-velodyne
+    frame (the KittiHandler reader rotates x<- -y, y<- -z, z<- x into the
+    camera-style frame, datasets/kitti.py:100-117 — the inverse map is
+    velo = (z_cam, -x_cam, -y_cam))."""
+    os.makedirs(os.path.join(out_dir, "velodyne"), exist_ok=True)
+    for i, T in enumerate(trajectory):
+        scan = render_lidar_scan(scene, T, n_beams=n_beams, n_az=n_az,
+                                 noise=noise, seed=i)
+        velo = np.stack([scan[:, 2], -scan[:, 0], -scan[:, 1], scan[:, 3]],
+                        axis=1).astype(np.float32)
+        velo.tofile(os.path.join(out_dir, "velodyne", f"{i:06d}.bin"))
+    return trajectory.copy()
 
 
 def gt_disparity(depth: np.ndarray, calib: Calibration) -> np.ndarray:
