@@ -16,6 +16,10 @@ Measured errors (2026-08, CPU backend; bounds are ~3x the measurement):
 | KITTI stereo odometry (intensity) | RPE RMSE [m/frame]    | 0.025    | 0.06  |
 | KITTI stereo odometry (intensity) | devkit trans err [%]  | see test | 5.0   |
 | TUM RGB-D odometry (rgbd preset)  | ATE RMSE [m]          | 0.006    | 0.025 |
+| KITTI lidar odometry (ray-cast velodyne) | ATE / RPE [m]  | 0.022/0.062 | 0.08/0.12 |
+| TartanAir RGB-D odometry          | ATE RMSE [m]          | 0.002    | 0.05  |
+| Lyft lidar odometry               | ATE RMSE [m]          | 0.036    | 0.1   |
+| Online SLAM loop closure (72-frame loop) | ATE [m]        | 0.016    | 0.05  |
 | IRLS BA over 5 TUM frames         | ATE after/before      | 0.26     | 0.6   |
 | SGBM disparity vs rendered GT     | mean EPE [px]         | 0.21     | 0.5   |
 """
@@ -187,6 +191,61 @@ def test_kitti_lidar_odometry_e2e(tmp_path):
     # measured 2026-08: ATE 0.022 m, RPE 0.062 m/frame (bounds ~2-3x)
     assert ate < 0.08, f"lidar ATE {ate:.4f} m"
     assert rpe < 0.12, f"lidar RPE {rpe:.4f} m/frame"
+
+
+# ---------------------------------------------------- TartanAir / Lyft e2e
+
+
+def test_tartan_rgbd_odometry_e2e(tmp_path):
+    """TartanAir RGB-D chain at accuracy grade: rendered image_left/*.png +
+    depth npys through the UNMODIFIED tartan_odometry driver."""
+    from unified_cvo_tpu.apps.tartan_odometry import run_sequence
+
+    d = str(tmp_path / "tartan_seq")
+    scene = synth.corridor_scene(9, half_width=3.0, floor_y=1.4,
+                                 ceil_y=-1.6, length=30.0)
+    traj = synth.corridor_trajectory(7, step=0.1, yaw_rate=0.015, bob=0.004)
+    synth.write_tartan_sequence(d, scene, traj)
+    out = str(tmp_path / "traj.txt")
+    run_sequence(d, os.path.join(REF_PARAMS, "cvo_rgbd_params.yaml"), out,
+                 capacity=4096, chunk=2048, max_iter=250,
+                 log=lambda *a: None)
+    # tartan trajectories are 7-column (x y z qx qy qz qw, no timestamp)
+    from scipy.spatial.transform import Rotation
+
+    rows = np.atleast_2d(np.loadtxt(out))
+    est = np.tile(np.eye(4), (len(rows), 1, 1))
+    est[:, :3, 3] = rows[:, :3]
+    est[:, :3, :3] = Rotation.from_quat(rows[:, 3:7]).as_matrix()
+    assert len(est) == len(traj)
+    ate = ate_rmse(traj, est)
+    # measured 2026-08: see below (bounds ~3x)
+    assert ate < 0.05, f"TartanAir ATE {ate:.4f} m"
+
+
+def test_lyft_lidar_odometry_e2e(tmp_path):
+    """Lyft lidar chain at accuracy grade: rendered 5-float sweeps through
+    the UNMODIFIED lyft_lidar_odometry driver."""
+    from unified_cvo_tpu.apps.lyft_lidar_odometry import run_sequence
+    from unified_cvo_tpu.datasets.kitti import read_kitti_poses
+
+    d = str(tmp_path / "lyft_seq")
+    scene = synth.room_scene(13, half=9.0, floor_y=1.8, ceil_y=-3.0,
+                             n_pillars=4)
+    traj = synth.corridor_trajectory(6, step=0.2, yaw_rate=0.02, bob=0.0)
+    synth.write_lyft_lidar_sequence(d, scene, traj, n_beams=40, n_az=720,
+                                    noise=0.005)
+    yaml = tmp_path / "lyft.yaml"
+    yaml.write_text(
+        "ell_init: 0.5\nell_init_first_frame: 0.8\nell_min: 0.05\n"
+        "ell_max: 1.2\nis_using_intensity: 1\n")
+    out = str(tmp_path / "traj.txt")
+    run_sequence(d, str(yaml), out, capacity=8192, chunk=2048, max_iter=300,
+                 log=lambda *a: None)
+    est = read_kitti_poses(out)
+    assert est.shape[0] == len(traj)
+    ate = ate_rmse(traj, est)
+    assert ate < 0.1, f"Lyft lidar ATE {ate:.4f} m"
 
 
 # ---------------------------------------------------------------- IRLS BA

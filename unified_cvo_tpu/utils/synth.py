@@ -295,6 +295,50 @@ def write_kitti_lidar_sequence(out_dir: str, scene: Sequence[Plane],
     return trajectory.copy()
 
 
+def write_tartan_sequence(out_dir: str, scene: Sequence[Plane],
+                          trajectory: np.ndarray) -> np.ndarray:
+    """Render + write the TartanAir on-disk layout
+    (<out_dir>/image_left/NNNNNN_left.png +
+    depth_left/NNNNNN_left_depth.npy, datasets/tartanair.py) at the
+    handler's fixed 640x480 fx=320 intrinsics."""
+    import cv2
+
+    from unified_cvo_tpu.datasets.tartanair import TARTANAIR_K
+
+    calib = Calibration(TARTANAIR_K.copy(), depth_scale=1.0,
+                        cols=640, rows=480)
+    os.makedirs(os.path.join(out_dir, "image_left"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "depth_left"), exist_ok=True)
+    for i, T in enumerate(trajectory):
+        bgr, depth = render_frame(scene, calib, T)
+        cv2.imwrite(os.path.join(out_dir, "image_left", f"{i:06d}_left.png"),
+                    bgr)
+        np.save(os.path.join(out_dir, "depth_left",
+                             f"{i:06d}_left_depth.npy"),
+                depth.astype(np.float32))
+    return trajectory.copy()
+
+
+def write_lyft_lidar_sequence(out_dir: str, scene: Sequence[Plane],
+                              trajectory: np.ndarray,
+                              n_beams: int = 40, n_az: int = 900,
+                              noise: float = 0.0) -> np.ndarray:
+    """Render + write the Lyft L5 lidar layout (<out_dir>/lidar/*.bin,
+    5 float32 per point: raw-frame x y z + intensity + ring;
+    datasets/lyft.py applies the same axis rotation as KITTI)."""
+    os.makedirs(os.path.join(out_dir, "lidar"), exist_ok=True)
+    for i, T in enumerate(trajectory):
+        scan = render_lidar_scan(scene, T, n_beams=n_beams, n_az=n_az,
+                                 noise=noise, seed=i)
+        n = len(scan)
+        ring = np.zeros((n, 1), np.float32)
+        velo = np.concatenate(
+            [np.stack([scan[:, 2], -scan[:, 0], -scan[:, 1]], axis=1),
+             scan[:, 3:4], ring], axis=1).astype(np.float32)
+        velo.tofile(os.path.join(out_dir, "lidar", f"{i:06d}.bin"))
+    return trajectory.copy()
+
+
 def gt_disparity(depth: np.ndarray, calib: Calibration) -> np.ndarray:
     """Ground-truth left disparity from rendered depth (0 where invalid)."""
     with np.errstate(divide="ignore"):
