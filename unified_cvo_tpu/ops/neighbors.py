@@ -47,6 +47,7 @@ from jax import lax
 
 from unified_cvo_tpu.ops import kernels as jnp_kernels
 from unified_cvo_tpu.ops import lie
+from unified_cvo_tpu.ops import pallas_select
 from unified_cvo_tpu.utils.pointcloud import PointCloud
 
 DEFAULT_K = 32            # matches the reference kd-tree mode's K
@@ -143,6 +144,7 @@ def build_neighbor_list(
     skin: float = DEFAULT_SKIN,
     per_cell_cap: int = PER_CELL_CAP,
     grid_dims: Tuple[int, int, int] = GRID_DIMS,
+    select: str = "auto",
 ) -> NeighborList:
     """Grid-bucketed candidate search around each source point.
 
@@ -217,27 +219,129 @@ def build_neighbor_list(
 
     # 27-cell candidate pool per source point (a 2x2x2 octant pool would
     # need cell >= 2(r+skin) — 2.4x the candidate volume, inflating K and
-    # the per-iteration cost; 27 cells of size r+skin is the lean cover),
-    # pulled as whole cell rows then reduced to the K nearest
+    # the per-iteration cost; 27 cells of size r+skin is the lean cover).
+    # Gathers cost ~10.6 ns per INDEX on this chip, independent of row
+    # width up to 128 floats (measured) — so the pool is pulled through a
+    # z-DILATED table: each dilated row holds the 3 z-consecutive cells
+    # (r-1, r, r+1), built by two rolls + one concatenate (z-adjacent
+    # cells are adjacent rows in the linearized grid), and each source
+    # point gathers 9 (dx,dy) windows of width 12P instead of 27 rows of
+    # width 4P. Measured: 0.86 ms vs 2.07 ms for the 27-row gather at
+    # bench scale. (The earlier (dy,dz) scatter-dilation and the 36P-wide
+    # shifted-slice concat were both LOSSES — the win is dilating ONLY
+    # the contiguous axis, which costs one 3x-width concat stream.)
     cbase = jnp.clip(jnp.floor((x.xyz - lo) / cell).astype(jnp.int32), 0, clip_hi)
     # a single-cell axis (anisotropic grid) covers its whole span, so that
     # axis needs no +-1 offsets — a (gx, 1, gz) grid pulls a 9-cell pool
     # (3x fewer gather indices; gathers cost per index)
     axis_offs = [(-1, 0, 1) if d > 1 else (0,) for d in (gx, gy, gz)]
-    offs = jnp.asarray(
-        [[dx, dy, dz] for dx in axis_offs[0] for dy in axis_offs[1]
-         for dz in axis_offs[2]], jnp.int32)                # [n_off,3]
-    n_off = offs.shape[0]
-    cnb = cbase[:, None, :] + offs[None, :, :]              # [N,n_off,3]
-    in_grid = jnp.all((cnb >= 0) & (cnb < jnp.asarray([gx, gy, gz])), axis=-1)
-    cid = (cnb[..., 0] * gy + cnb[..., 1]) * gz + cnb[..., 2]
-    cid = jnp.where(in_grid, cid, n_cells)                  # empty sentinel bucket
+    blk = _select_blk(N)
+    use_kernel = select in ("kernel", "kernel_interpret") or (
+        select == "auto" and jax.default_backend() == "tpu"
+        and gz >= 3 and blk is not None)
+    if use_kernel and gz >= 3 and blk is not None:
+        # fused selection path: gather the pool through a LANE-PADDED
+        # z-dilated table (each component block padded 3P -> 32 lanes so
+        # the in-kernel extraction is a pure reshape) and hand the raw
+        # pool to the pallas_select kernel, which does the transform,
+        # support gate, and K-nearest extraction entirely in VMEM —
+        # replacing the XLA component-relayout (+1.3 ms) and 5-operand
+        # payload sort (~2.5 ms) with one ~0.3 ms kernel at bench scale.
+        offs2 = jnp.asarray(
+            [[dx, dy] for dx in axis_offs[0] for dy in axis_offs[1]],
+            jnp.int32)
+        n_off = offs2.shape[0]
+        cxy = cbase[:, None, :2] + offs2[None, :, :]
+        in_grid = jnp.all(
+            (cxy >= 0) & (cxy < jnp.asarray([gx, gy])), axis=-1)
+        zc = jnp.clip(cbase[:, 2], 1, gz - 2)
+        cid = (cxy[..., 0] * gy + cxy[..., 1]) * gz + zc[:, None]
+        cid = jnp.where(in_grid, cid, n_cells)
+        CP = 32
+        pad = jnp.full((n_cells + 1, CP - 3 * P), -1.0, f32)
+        tabz = jnp.concatenate(
+            [jnp.concatenate(
+                [jnp.roll(tab[:, c * P:(c + 1) * P], s, axis=0)
+                 for s in (1, 0, -1)] + [pad], axis=1)
+             for c in range(4)], axis=1)                    # [n_cells+1, 128]
+        tabz = tabz.at[n_cells].set(-1.0)
+        # materialize before gathering: XLA otherwise fuses the whole
+        # roll/concat/scatter chain INTO the gather, recomputing it per
+        # gathered element (measured +4.4 ms at bench scale)
+        tabz = lax.optimization_barrier(tabz)
+        pool = tabz[cid.reshape(-1)].reshape(N, n_off * 4 * CP)
+        xr2 = jnp.stack(
+            [x.xyz[:, 0], x.xyz[:, 1], x.xyz[:, 2],
+             jnp.where(x.mask > 0, r_i * r_i, -1.0)], axis=1)
+        ko, co, y0s, y1s, y2s, kept = pallas_select.pool_select(
+            pool, xr2, R_inv, T_inv, k=k, n_win=int(n_off), cp=CP, blk=blk,
+            interpret=(select == "kernel_interpret"))
+        valid = jnp.isfinite(ko).T                          # [K, N]
+        idx = co.T.astype(jnp.int32)                        # -1 on dead slots
+        y_xyz = jnp.stack([y0s.T, y1s.T, y2s.T], axis=0)    # DEAD on dead
+        overflow = (kept.astype(jnp.int32)
+                    - jnp.sum(valid).astype(jnp.int32)
+                    + per_cell_dropped.astype(jnp.int32))
+        chan = _build_chan(params, x, target, idx, valid)
+        return NeighborList(
+            idx=idx,
+            valid=valid,
+            y_xyz=y_xyz,
+            chan=chan,
+            y_t_build=y_t,
+            overflow=overflow,
+            pose_build=jnp.concatenate([jnp.ravel(R_inv), T_inv]).astype(f32),
+            r_max_t=_r_max(target),
+            ell_build=jnp.asarray(ell, f32),
+            k_lin=_k_lin(params, x),
+        )
+    if gz >= 3:
+        # z windows clip to [1, gz-2]: the window (zc-1, zc, zc+1) stays
+        # inside the (cx, cy) slab — no linear-index wrap anywhere, and the
+        # window always covers {cz-1, cz, cz+1} ∩ grid. The at-most-one
+        # extra cell a clipped window admits is >= one full cell away in z,
+        # i.e. beyond r_i + skin, so the exact filter rejects it and no
+        # duplicate slots can arise (all 9 (dx,dy) slabs are distinct).
+        offs2 = jnp.asarray(
+            [[dx, dy] for dx in axis_offs[0] for dy in axis_offs[1]],
+            jnp.int32)                                      # [n_off,2]
+        n_off = offs2.shape[0]
+        cxy = cbase[:, None, :2] + offs2[None, :, :]        # [N,n_off,2]
+        in_grid = jnp.all(
+            (cxy >= 0) & (cxy < jnp.asarray([gx, gy])), axis=-1)
+        zc = jnp.clip(cbase[:, 2], 1, gz - 2)
+        cid = (cxy[..., 0] * gy + cxy[..., 1]) * gz + zc[:, None]
+        cid = jnp.where(in_grid, cid, n_cells)              # all-dead sentinel
+        # component-major dilation: [x 3P | y 3P | z 3P | idx 3P], each
+        # component block = (cell r-1 | r | r+1) P-slots
+        tabz = jnp.concatenate(
+            [jnp.concatenate(
+                [jnp.roll(tab[:, c * P:(c + 1) * P], s, axis=0)
+                 for s in (1, 0, -1)], axis=1)
+             for c in range(4)], axis=1)                    # [n_cells+1, 12P]
+        # roll wraps the sentinel row's blocks onto real cells — re-kill it
+        tabz = tabz.at[n_cells].set(-1.0)
+        tabz = lax.optimization_barrier(tabz)   # see kernel-path note
+        pool = tabz[cid.reshape(-1)].reshape(N, n_off, 12 * P)
+        comp = [pool[:, :, c * 3 * P:(c + 1) * 3 * P].reshape(N, n_off * 3 * P)
+                for c in range(4)]
+    else:
+        offs = jnp.asarray(
+            [[dx, dy, dz] for dx in axis_offs[0] for dy in axis_offs[1]
+             for dz in axis_offs[2]], jnp.int32)            # [n_off,3]
+        n_off = offs.shape[0]
+        cnb = cbase[:, None, :] + offs[None, :, :]          # [N,n_off,3]
+        in_grid = jnp.all(
+            (cnb >= 0) & (cnb < jnp.asarray([gx, gy, gz])), axis=-1)
+        cid = (cnb[..., 0] * gy + cnb[..., 1]) * gz + cnb[..., 2]
+        cid = jnp.where(in_grid, cid, n_cells)              # empty sentinel bucket
 
-    pool = tab[cid.reshape(-1)].reshape(N, n_off, 4 * P)    # [N,n_off,4P]
-    # component extraction = static column-block slices -> [N, n_off*P]
-    # arrays (lane-aligned; no minor-dim-4 anywhere)
-    comp = [pool[:, :, c * P:(c + 1) * P].reshape(N, n_off * P)
-            for c in range(4)]
+        pool = lax.optimization_barrier(tab)[
+            cid.reshape(-1)].reshape(N, n_off, 4 * P)       # [N,n_off,4P]
+        # component extraction = static column-block slices -> [N, n_off*P]
+        # arrays (lane-aligned; no minor-dim-4 anywhere)
+        comp = [pool[:, :, c * P:(c + 1) * P].reshape(N, n_off * P)
+                for c in range(4)]
     cand = comp[3].astype(jnp.int32)                        # -1 = empty slot
     yc_raw_c = comp[:3]                                     # 3 x [N,27P]
     yc_t = [yc_raw_c[0] * R_inv[c, 0] + yc_raw_c[1] * R_inv[c, 1]
@@ -287,6 +391,14 @@ def build_neighbor_list(
         ell_build=jnp.asarray(ell, f32),
         k_lin=_k_lin(params, x),
     )
+
+
+def _select_blk(n: int):
+    """Largest pallas_select block size dividing the bucket, or None."""
+    for b in (pallas_select.DEFAULT_BLK, 128, 64, 32, 16, 8):
+        if n % b == 0:
+            return b
+    return None
 
 
 def _k_lin(params, x: PointCloud):

@@ -1,0 +1,148 @@
+"""Fused pool->K-nearest selection kernel for the neighbor-list build.
+
+The grid build (ops/neighbors.py build_neighbor_list) pulls each source
+point's candidate pool as 9 z-dilated cell-window rows and must reduce it
+to the K nearest in-support candidates. Done in XLA this costs ~3.8 ms at
+bench scale: the component extraction is a wide-relayout stream (+1.3 ms)
+and the 5-operand lax.sort that carries the payloads is ~2.5 ms — both
+far above the data's streaming cost (~70 MB). This kernel replaces the
+whole post-gather pipeline: it reads the RAW pool block once, extracts
+components with in-VMEM slices, applies the current pose, gates by the
+per-source support radius, and runs an iterative min-extraction (K steps
+of lane-reduce + one-hot payload pull) that emits the K nearest slots in
+final form (inf/-1/DEAD_COORD defaults for unused slots). Only the
+[N, K] results and a [1, 128] kept-count accumulator leave the kernel.
+
+Selection semantics match the sort path in neighbors.py exactly (the K
+nearest by squared distance; slot ORDER within a row is ascending-d2
+either way); only tie-breaking between equidistant candidates may
+differ, which no consumer observes (all K-axis consumers are
+order-independent reductions). Reference for what is being selected:
+the kd-tree mode's K nearest (cukdtree.h:12) under the exact support
+gate of fill_in_A_mat_gpu (CvoGPU.cu:507-520).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEAD_COORD = 1e9
+DEFAULT_BLK = 256
+
+
+def _select_kernel(k, n_win, cp, *refs):
+    s_ref, pool_ref, x_ref, ko, co, y0o, y1o, y2o, kept_o = refs
+    f32 = jnp.float32
+    pool = pool_ref[...]                       # [blk, n_win * 4 * cp]
+    blk = pool.shape[0]
+    W = n_win * cp
+    # component extraction: window layout is [x cp | y cp | z cp | idx cp];
+    # cp-lane-aligned static slices + concat (Mosaic cannot lower the
+    # equivalent [blk, n_win, 4, cp] reshape)
+    comp = [jnp.concatenate(
+        [pool[:, w * 4 * cp + c * cp:w * 4 * cp + (c + 1) * cp]
+         for w in range(n_win)], axis=1) for c in range(4)]
+    y0r, y1r, y2r, ci = comp                   # raw target coords + index
+
+    x0 = x_ref[:, 0:1]
+    x1 = x_ref[:, 1:2]
+    x2 = x_ref[:, 2:3]
+    r2 = x_ref[:, 3:4]                         # -1 for masked source rows
+    yt = [y0r * s_ref[3 * c] + y1r * s_ref[3 * c + 1]
+          + y2r * s_ref[3 * c + 2] + s_ref[9 + c] for c in range(3)]
+    d2 = (x0 - yt[0]) ** 2 + (x1 - yt[1]) ** 2 + (x2 - yt[2]) ** 2
+    keep = (ci >= 0.0) & (d2 <= r2)            # pad/dead slots carry ci = -1
+    key = jnp.where(keep, d2, jnp.inf)
+    keep_f = keep.astype(f32)
+    kept = jnp.sum(keep_f)
+    # candidate rows hold ~6 in-support slots on average (bench scale), so
+    # the extraction loop runs min(k, max row count in this block) steps —
+    # a dynamic trip count, ~3-5x fewer steps than the static k
+    nsteps = jnp.minimum(
+        jnp.max(jnp.sum(keep_f, axis=1)).astype(jnp.int32), k)
+
+    lane = lax.broadcasted_iota(jnp.int32, key.shape, 1)
+    kcol = lax.broadcasted_iota(jnp.int32, (blk, k), 1)
+    big = jnp.int32(W + 1)
+
+    def step(j, carry):
+        key, koa, coa, y0a, y1a, y2a = carry
+        m = jnp.min(key, axis=1, keepdims=True)            # [blk, 1]
+        found = jnp.isfinite(m)
+        pos = jnp.min(jnp.where(key == m, lane, big), axis=1, keepdims=True)
+        sel = lane == pos                                  # exactly one lane
+        pull = lambda p, dflt: jnp.where(
+            found,
+            jnp.sum(jnp.where(sel, p, 0.0), axis=1, keepdims=True), dflt)
+        at_j = kcol == j
+        koa = jnp.where(at_j & found, m, koa)
+        coa = jnp.where(at_j, pull(ci, -1.0), coa)
+        y0a = jnp.where(at_j, pull(y0r, DEAD_COORD), y0a)
+        y1a = jnp.where(at_j, pull(y1r, DEAD_COORD), y1a)
+        y2a = jnp.where(at_j, pull(y2r, DEAD_COORD), y2a)
+        key = jnp.where(sel & found, jnp.inf, key)
+        return key, koa, coa, y0a, y1a, y2a
+
+    init = (key,
+            jnp.full((blk, k), jnp.inf, f32),
+            jnp.full((blk, k), -1.0, f32),
+            jnp.full((blk, k), DEAD_COORD, f32),
+            jnp.full((blk, k), DEAD_COORD, f32),
+            jnp.full((blk, k), DEAD_COORD, f32))
+    _, koa, coa, y0a, y1a, y2a = lax.fori_loop(0, nsteps, step, init)
+    ko[...] = koa
+    co[...] = coa
+    y0o[...] = y0a
+    y1o[...] = y1a
+    y2o[...] = y2a
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        kept_o[...] = jnp.zeros_like(kept_o)
+
+    # scalar stores to VMEM are not Mosaic-legal: accumulate into lane 0
+    # of the [1, 128] resident row
+    lane_r = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    kept_o[...] += jnp.where(lane_r == 0, kept, 0.0)
+
+
+def pool_select(pool, xr2, R_inv, T_inv, k: int, n_win: int, cp: int,
+                blk: int = DEFAULT_BLK, interpret: bool = False):
+    """K-nearest selection over the gathered candidate pool.
+
+    pool [N, n_win*4*cp] raw gathered windows; xr2 [N, 4] = source xyz +
+    gated squared radius (-1 for masked rows). Returns (key [N,k] d2 or
+    inf, cand [N,k] f32 index or -1, y0, y1, y2 [N,k] raw coords or
+    DEAD_COORD, kept [] f32 count of in-support candidates)."""
+    N = pool.shape[0]
+    assert N % blk == 0, (N, blk)
+    scal = jnp.concatenate(
+        [jnp.ravel(R_inv.astype(jnp.float32)), T_inv.astype(jnp.float32)])
+    body = functools.partial(_select_kernel, k, n_win, cp)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(N // blk,),
+        in_specs=[
+            pl.BlockSpec((blk, n_win * 4 * cp), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, 4), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((blk, k), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM) for _ in range(5)
+        ] + [pl.BlockSpec((1, 128), lambda i, s: (0, 0),
+                          memory_space=pltpu.VMEM)],
+    )
+    out_shape = [jax.ShapeDtypeStruct((N, k), jnp.float32)
+                 for _ in range(5)] + [
+        jax.ShapeDtypeStruct((1, 128), jnp.float32)]
+    ko, co, y0, y1, y2, kept = pl.pallas_call(
+        body, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
+    )(scal, pool, xr2)
+    return ko, co, y0, y1, y2, kept[0, 0]
