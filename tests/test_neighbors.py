@@ -145,6 +145,45 @@ def test_overflow_is_reported_on_dense_cloud(rng):
     assert int(info.nl_overflow) > 0
 
 
+@pytest.mark.parametrize("per_cell_cap", [8, 24])
+def test_kernel_select_matches_sort_path(rng, per_cell_cap):
+    """The fused pallas_select build path (production on TPU via
+    select='auto') must produce the same neighbor list as the sort path:
+    same valid slots, indices, raw coordinates, and overflow. Run under
+    the Mosaic interpreter so CI covers it on the CPU mesh; cap 24
+    exercises the derived lane padding (3P=72 -> CP=96; a hard-coded
+    CP=32 crashed tracing for any cap > 10)."""
+    params = _params()
+    xyz = _scene(rng)
+    xyz2 = _scene(rng) + np.float32([0.15, 0.0, 0.1])
+    src = make_pointcloud(xyz, bucket=512)
+    tgt = make_pointcloud(xyz2, bucket=512)
+    R, ell = jnp.eye(3), jnp.float32(params.ell_init)
+    T = jnp.float32([0.02, -0.01, 0.03])
+    kw = dict(k=32, skin=0.3, per_cell_cap=per_cell_cap)
+    nl_s = nbr.build_neighbor_list(params, ell, src, tgt, R, T,
+                                   select="sort", **kw)
+    nl_k = nbr.build_neighbor_list(params, ell, src, tgt, R, T,
+                                   select="kernel_interpret", **kw)
+    assert int(nl_s.overflow) == int(nl_k.overflow)
+    np.testing.assert_array_equal(np.asarray(nl_s.valid), np.asarray(nl_k.valid))
+    # rows are ascending-d2 in both; only exact-tie order may differ
+    # (docstring contract) — none occur on this random scene
+    np.testing.assert_array_equal(np.asarray(nl_s.idx), np.asarray(nl_k.idx))
+    np.testing.assert_array_equal(np.asarray(nl_s.y_xyz), np.asarray(nl_k.y_xyz))
+
+
+def test_kernel_select_explicit_precondition_error(rng):
+    """Explicit select='kernel' with unmet preconditions must raise, not
+    silently fall back to the sort path."""
+    params = _params()
+    src = make_pointcloud(_scene(rng, n=500), bucket=500)   # no blk divides 500
+    tgt = make_pointcloud(_scene(rng, n=500), bucket=500)
+    with pytest.raises(ValueError, match="kernel"):
+        nbr.build_neighbor_list(params, jnp.float32(params.ell_init), src,
+                                tgt, jnp.eye(3), jnp.zeros(3), select="kernel")
+
+
 def test_auto_backend_gates():
     """auto -> ell only for large clouds with local support."""
     from unified_cvo_tpu.ops.neighbors import static_support_radius

@@ -48,13 +48,23 @@ def main(argv=None):
     print(f"ell init is {params.ell_init}")
     print(f"Start align... num_fixed is {len(sx)}, num_moving is {len(tx)}")
 
+    # cold call = one-time jit compilation (20-40 s per new shape over a
+    # remote-compile tunnel) + solve; the warm re-run isolates the actual
+    # registration cost, matching the reference's "Average registration
+    # time" semantics (its CUDA kernels have no per-shape compile step)
     t0 = time.time()
     T, ret, info = align(src, tgt, jnp.eye(4), params, max_iter=max_iter)
     T = np.asarray(T)
+    cold = time.time() - t0
+    t0 = time.time()
+    T2, ret, info = align(src, tgt, jnp.eye(4), params, max_iter=max_iter)
+    T = np.asarray(T2)
     elapsed = time.time() - t0
     print(f"cvo # of iterations is {int(info.iterations)}")
     print(f"final ell is {float(info.final_ell):.4f}, ret={int(ret)}")
     print("Transform is\n", T)
+    print(f"first call {cold:.3f} s (includes {cold - elapsed:.3f} s "
+          "one-time jit compilation)")
     print(f"Average registration time is {elapsed:.3f} s")
 
     # function_angle applies the INVERSE of its transform to the moving cloud

@@ -91,6 +91,37 @@ def _stats_fns(backend: str, chunk: int, tile_i=None, tile_j=None):
     return flow, step
 
 
+def resolve_backend(params, source_cap: int, target_cap: int,
+                    backend: str = "auto",
+                    adaptive_ell: Optional[bool] = None) -> str:
+    """The auto backend policy, shared by align() and its fenced wrapper.
+
+    'ell' (Verlet candidate list) for large clouds with a ranking channel
+    and non-growing support; otherwise a dense backend: 'jnp' on CPU and
+    for SMALL clouds on any platform (at tiny shapes the blocked-XLA
+    passes are ~3x faster per iteration than the Mosaic tiles, compile
+    faster over a remote tunnel, and sidestep a TPU-runtime fragility in
+    multi-variant dense-Pallas compiles — see align()'s fence), 'pallas'
+    for large clouds without local support."""
+    if adaptive_ell is None:
+        adaptive_ell = bool(params.is_ell_adaptive)
+    has_rank_channel = bool(
+        params.is_using_geometry or params.is_using_intensity
+        or params.is_using_semantics or params.is_using_geometric_type)
+    if backend != "auto":
+        return backend
+    if (
+        has_rank_channel
+        and (not adaptive_ell or bool(params.is_using_geometry))
+        and source_cap >= 4096
+        and target_cap >= 4096
+    ):
+        return "ell"
+    if jax.default_backend() == "cpu" or max(source_cap, target_cap) < 4096:
+        return "jnp"
+    return "pallas"
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -100,7 +131,7 @@ def _stats_fns(backend: str, chunk: int, tile_i=None, tile_j=None):
         "psum_axis", "ring_axis",
     ),
 )
-def align(
+def align_core(
     source: PointCloud,
     target: PointCloud,
     init_guess: jax.Array,
@@ -181,25 +212,15 @@ def align(
         params.is_using_geometry or params.is_using_intensity
         or params.is_using_semantics or params.is_using_geometric_type
     )
-    if backend == "auto":
-        # the ELL candidate list needs a ranking channel (geometric distance
-        # or a channel kernel value) and a non-growing support (the ACVO
-        # variant can grow ell without triggering a rebuild). Small clouds
-        # stay on the dense backends: their N x M scans are cheap, while the
-        # nl_k row cap would truncate dense-support kernels (the cap only
-        # pays for itself at scale — the builder choice below then covers
-        # every support radius)
-        if (
-            has_rank_channel
-            and (not adaptive_ell or bool(params.is_using_geometry))
-            and source.capacity >= 4096
-            and target.capacity >= 4096
-        ):
-            backend = "ell"
-        else:
-            # fused Pallas kernels on accelerators; blocked-XLA passes on
-            # CPU (Mosaic's CPU path is the slow interpreter)
-            backend = "jnp" if jax.default_backend() == "cpu" else "pallas"
+    # the ELL candidate list needs a ranking channel (geometric distance
+    # or a channel kernel value) and a non-growing support (the ACVO
+    # variant can grow ell without triggering a rebuild). Small clouds
+    # stay on the dense backends: their N x M scans are cheap, while the
+    # nl_k row cap would truncate dense-support kernels — and among the
+    # dense backends small clouds take 'jnp' on every platform
+    # (resolve_backend's policy)
+    backend = resolve_backend(params, source.capacity, target.capacity,
+                              backend, adaptive_ell)
     f32 = jnp.float32
     max_iter = params.MAX_ITER if max_iter is None else max_iter
     R0 = jnp.asarray(init_guess[:3, :3], f32)
@@ -620,6 +641,96 @@ def align(
         nl_rebuilds=final.nl_rebuilds if use_ell else None,
     )
     return transform, final.ret, info
+
+
+def align(
+    source: PointCloud,
+    target: PointCloud,
+    init_guess: jax.Array,
+    params: CvoParams,
+    backend: str = "auto",
+    adaptive_ell: Optional[bool] = None,
+    psum_axis=None,
+    ring_axis=None,
+    **kwargs,
+):
+    """Public pairwise-align entry point: resolves the backend policy
+    (resolve_backend) and calls the jitted core (align_core — same
+    signature; use it directly inside jit/shard_map contexts if you need
+    zero Python overhead).
+
+    Dense-Pallas execution fence: on TPU the dense Mosaic path has an
+    observed runtime fragility — compiling and running a SECOND dense
+    variant in one process can intermittently fail with
+    `INVALID_ARGUMENT: TPU backend error` (round-4 verdict; reproduced on
+    the axon platform with two max_iter variants at demo shapes). When the
+    resolved backend is 'pallas' on an accelerator and the call is
+    concrete (not inside a trace), the wrapper forces execution with one
+    tiny host fetch of `ret`; on a runtime failure it retries once and
+    then falls back to the blocked-XLA 'jnp' backend, which computes the
+    same quantities. The fence costs one tunnel round-trip per align on
+    the dense path only — the ELL path (every large-cloud workload) is
+    unaffected."""
+    shard = psum_axis is not None or ring_axis is not None
+    resolved = "jnp" if shard else resolve_backend(
+        params, source.capacity, target.capacity, backend, adaptive_ell)
+
+    def run(bk):
+        out = align_core(source, target, init_guess, params, backend=bk,
+                         adaptive_ell=adaptive_ell, psum_axis=psum_axis,
+                         ring_axis=ring_axis, **kwargs)
+        if not isinstance(out[1], jax.core.Tracer):
+            import numpy as np
+
+            np.asarray(out[1])          # transitively forces the solve
+        return out
+
+    if resolved != "pallas" or jax.default_backend() == "cpu":
+        return align_core(source, target, init_guess, params,
+                          backend=resolved, adaptive_ell=adaptive_ell,
+                          psum_axis=psum_axis, ring_axis=ring_axis, **kwargs)
+
+    # the observed failure surfaces either as a deferred JaxRuntimeError
+    # on the result fetch or as a synchronous ValueError from the remote
+    # compile/dispatch itself — match the message so real ValueErrors
+    # still propagate. Once it fires, the whole TPU client is wedged
+    # (subsequent dispatches of ANY program in the process fail), so
+    # recovery = snapshot the inputs to host, drop the dead client
+    # (clear_backends), and re-run on a fresh one — measured to revive
+    # the process on the axon platform (recompiles, seconds over the
+    # tunnel, but correct).
+    def is_tpu_flake(e):
+        msg = str(e)
+        return ("TPU backend error" in msg or "INVALID_ARGUMENT" in msg
+                or "FAILED_PRECONDITION" in msg)
+
+    # snapshot the inputs to host BEFORE the first risky run: once the
+    # flake fires, the wedged client cannot even READ existing device
+    # buffers (measured), so a post-hoc snapshot is impossible
+    import numpy as np
+
+    host = jax.tree.map(np.asarray, (source, target, init_guess))
+    last = None
+    for attempt, bk in enumerate((resolved, resolved, "jnp")):
+        try:
+            if attempt == 2:
+                import warnings
+
+                warnings.warn(
+                    "dense-Pallas align failed at TPU runtime twice; "
+                    "falling back to the blocked-XLA 'jnp' backend")
+            return run(bk)
+        except (jax.errors.JaxRuntimeError, ValueError) as e:
+            if not is_tpu_flake(e):
+                raise
+            last = e
+            try:
+                jax.extend.backend.clear_backends()
+                jax.clear_caches()
+                source, target, init_guess = jax.tree.map(jnp.asarray, host)
+            except Exception:
+                raise last  # client unrecoverable — surface the original
+    raise last
 
 
 @functools.partial(jax.jit, static_argnames=("params", "chunk"))

@@ -236,65 +236,18 @@ def build_neighbor_list(
     # (3x fewer gather indices; gathers cost per index)
     axis_offs = [(-1, 0, 1) if d > 1 else (0,) for d in (gx, gy, gz)]
     blk = _select_blk(N)
+    kernel_ok = gz >= 3 and blk is not None
+    if select == "kernel" and not kernel_ok:
+        raise ValueError(
+            f"select='kernel' needs gz >= 3 (got {gz}) and a pallas_select "
+            f"block size dividing the source capacity (got N={N}); use "
+            "select='auto' to fall back to the sort path.")
     use_kernel = select in ("kernel", "kernel_interpret") or (
-        select == "auto" and jax.default_backend() == "tpu"
-        and gz >= 3 and blk is not None)
-    if use_kernel and gz >= 3 and blk is not None:
-        # fused selection path: gather the pool through a LANE-PADDED
-        # z-dilated table (each component block padded 3P -> 32 lanes so
-        # the in-kernel extraction is a pure reshape) and hand the raw
-        # pool to the pallas_select kernel, which does the transform,
-        # support gate, and K-nearest extraction entirely in VMEM —
-        # replacing the XLA component-relayout (+1.3 ms) and 5-operand
-        # payload sort (~2.5 ms) with one ~0.3 ms kernel at bench scale.
-        offs2 = jnp.asarray(
-            [[dx, dy] for dx in axis_offs[0] for dy in axis_offs[1]],
-            jnp.int32)
-        n_off = offs2.shape[0]
-        cxy = cbase[:, None, :2] + offs2[None, :, :]
-        in_grid = jnp.all(
-            (cxy >= 0) & (cxy < jnp.asarray([gx, gy])), axis=-1)
-        zc = jnp.clip(cbase[:, 2], 1, gz - 2)
-        cid = (cxy[..., 0] * gy + cxy[..., 1]) * gz + zc[:, None]
-        cid = jnp.where(in_grid, cid, n_cells)
-        CP = 32
-        pad = jnp.full((n_cells + 1, CP - 3 * P), -1.0, f32)
-        tabz = jnp.concatenate(
-            [jnp.concatenate(
-                [jnp.roll(tab[:, c * P:(c + 1) * P], s, axis=0)
-                 for s in (1, 0, -1)] + [pad], axis=1)
-             for c in range(4)], axis=1)                    # [n_cells+1, 128]
-        tabz = tabz.at[n_cells].set(-1.0)
-        # materialize before gathering: XLA otherwise fuses the whole
-        # roll/concat/scatter chain INTO the gather, recomputing it per
-        # gathered element (measured +4.4 ms at bench scale)
-        tabz = lax.optimization_barrier(tabz)
-        pool = tabz[cid.reshape(-1)].reshape(N, n_off * 4 * CP)
-        xr2 = jnp.stack(
-            [x.xyz[:, 0], x.xyz[:, 1], x.xyz[:, 2],
-             jnp.where(x.mask > 0, r_i * r_i, -1.0)], axis=1)
-        ko, co, y0s, y1s, y2s, kept = pallas_select.pool_select(
-            pool, xr2, R_inv, T_inv, k=k, n_win=int(n_off), cp=CP, blk=blk,
-            interpret=(select == "kernel_interpret"))
-        valid = jnp.isfinite(ko).T                          # [K, N]
-        idx = co.T.astype(jnp.int32)                        # -1 on dead slots
-        y_xyz = jnp.stack([y0s.T, y1s.T, y2s.T], axis=0)    # DEAD on dead
-        overflow = (kept.astype(jnp.int32)
-                    - jnp.sum(valid).astype(jnp.int32)
-                    + per_cell_dropped.astype(jnp.int32))
-        chan = _build_chan(params, x, target, idx, valid)
-        return NeighborList(
-            idx=idx,
-            valid=valid,
-            y_xyz=y_xyz,
-            chan=chan,
-            y_t_build=y_t,
-            overflow=overflow,
-            pose_build=jnp.concatenate([jnp.ravel(R_inv), T_inv]).astype(f32),
-            r_max_t=_r_max(target),
-            ell_build=jnp.asarray(ell, f32),
-            k_lin=_k_lin(params, x),
-        )
+        select == "auto" and jax.default_backend() == "tpu" and kernel_ok)
+    # explicit 'kernel' off-TPU would attempt a real Mosaic lowering that
+    # cannot succeed — run the same kernel under the interpreter instead
+    interpret = select == "kernel_interpret" or (
+        select == "kernel" and jax.default_backend() != "tpu")
     if gz >= 3:
         # z windows clip to [1, gz-2]: the window (zc-1, zc, zc+1) stays
         # inside the (cx, cy) slab — no linear-index wrap anywhere, and the
@@ -312,19 +265,66 @@ def build_neighbor_list(
         zc = jnp.clip(cbase[:, 2], 1, gz - 2)
         cid = (cxy[..., 0] * gy + cxy[..., 1]) * gz + zc[:, None]
         cid = jnp.where(in_grid, cid, n_cells)              # all-dead sentinel
-        # component-major dilation: [x 3P | y 3P | z 3P | idx 3P], each
-        # component block = (cell r-1 | r | r+1) P-slots
+        # shift-MAJOR z-dilation: [tab(r-1) 4P | tab(r) 4P | tab(r+1) 4P]
+        # built from three FULL-WIDTH rolls. The concat pieces are 32-lane
+        # aligned, so materializing the table costs one clean stream;
+        # the previous component-major layout ([x 3P | y 3P | ...], built
+        # from sixteen 8-lane column-slice rolls) materialized through
+        # lane-misaligned stripe writes at +4 ms per build (round-5
+        # measurement — the cost was long mis-attributed to the GATHER,
+        # because reduction consumers fuse the concat away while the
+        # gather forces it into memory)
         tabz = jnp.concatenate(
-            [jnp.concatenate(
-                [jnp.roll(tab[:, c * P:(c + 1) * P], s, axis=0)
-                 for s in (1, 0, -1)], axis=1)
-             for c in range(4)], axis=1)                    # [n_cells+1, 12P]
-        # roll wraps the sentinel row's blocks onto real cells — re-kill it
+            [jnp.roll(tab, 1, axis=0), tab, jnp.roll(tab, -1, axis=0)],
+            axis=1)                                         # [n_cells+1, 12P]
+        # roll wraps the sentinel row's blocks onto rows 0 / n_cells-1 —
+        # harmless (-1 slots) — but real cells wrap INTO the sentinel row:
+        # re-kill it
         tabz = tabz.at[n_cells].set(-1.0)
-        tabz = lax.optimization_barrier(tabz)   # see kernel-path note
-        pool = tabz[cid.reshape(-1)].reshape(N, n_off, 12 * P)
-        comp = [pool[:, :, c * 3 * P:(c + 1) * 3 * P].reshape(N, n_off * 3 * P)
-                for c in range(4)]
+        # materialize before gathering: XLA otherwise fuses the whole
+        # roll/concat/scatter chain INTO the gather, recomputing it per
+        # gathered element
+        tabz = lax.optimization_barrier(tabz)
+        pool_flat = tabz[cid.reshape(-1)]                   # [N*n_off, 12P]
+        if use_kernel and kernel_ok:
+            # fused selection: the pallas_select kernel does component
+            # extraction, the current-pose transform, the support gate,
+            # and the K-nearest reduction entirely in VMEM — replacing
+            # the XLA component-relayout and the 5-operand payload sort
+            # (~2.5 ms) with one short kernel
+            pool = pool_flat.reshape(N, n_off * 12 * P)
+            xr2 = jnp.stack(
+                [x.xyz[:, 0], x.xyz[:, 1], x.xyz[:, 2],
+                 jnp.where(x.mask > 0, r_i * r_i, -1.0)], axis=1)
+            ko, co, y0s, y1s, y2s, kept = pallas_select.pool_select(
+                pool, xr2, R_inv, T_inv, k=k, n_win=int(n_off), p=P,
+                blk=blk, interpret=interpret)
+            valid = jnp.isfinite(ko).T                      # [K, N]
+            idx = co.T.astype(jnp.int32)                    # -1 on dead slots
+            y_xyz = jnp.stack([y0s.T, y1s.T, y2s.T], axis=0)  # DEAD on dead
+            overflow = (kept - jnp.sum(valid).astype(jnp.int32)
+                        + per_cell_dropped.astype(jnp.int32))
+            chan = _build_chan(params, x, target, idx, valid)
+            return NeighborList(
+                idx=idx,
+                valid=valid,
+                y_xyz=y_xyz,
+                chan=chan,
+                y_t_build=y_t,
+                overflow=overflow,
+                pose_build=jnp.concatenate(
+                    [jnp.ravel(R_inv), T_inv]).astype(f32),
+                r_max_t=_r_max(target),
+                ell_build=jnp.asarray(ell, f32),
+                k_lin=_k_lin(params, x),
+            )
+        pool = pool_flat.reshape(N, n_off, 12 * P)
+        # component extraction from the (shift, comp)-blocked rows:
+        # [N, n_off * 3P] per component, lane-aligned
+        comp = [jnp.concatenate(
+            [pool[:, :, s * 4 * P + c * P:s * 4 * P + (c + 1) * P]
+             for s in range(3)], axis=-1).reshape(N, n_off * 3 * P)
+            for c in range(4)]
     else:
         offs = jnp.asarray(
             [[dx, dy, dz] for dx in axis_offs[0] for dy in axis_offs[1]

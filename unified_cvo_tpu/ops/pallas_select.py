@@ -36,18 +36,23 @@ DEAD_COORD = 1e9
 DEFAULT_BLK = 256
 
 
-def _select_kernel(k, n_win, cp, *refs):
+def _select_kernel(k, n_win, p, *refs):
     s_ref, pool_ref, x_ref, ko, co, y0o, y1o, y2o, kept_o = refs
     f32 = jnp.float32
-    pool = pool_ref[...]                       # [blk, n_win * 4 * cp]
+    pool = pool_ref[...]                       # [blk, n_win * 12 * p]
     blk = pool.shape[0]
-    W = n_win * cp
-    # component extraction: window layout is [x cp | y cp | z cp | idx cp];
-    # cp-lane-aligned static slices + concat (Mosaic cannot lower the
-    # equivalent [blk, n_win, 4, cp] reshape)
+    W = n_win * 3 * p
+    # component extraction: each window is 3 z-shift blocks of the raw
+    # cell-table row layout [x p | y p | z p | idx p] (the shift-MAJOR
+    # order the full-width roll+concat dilation produces — 32-lane-aligned
+    # table pieces materialize ~3x faster than a component-major
+    # column-slice concat, measured round 5). p-lane static slices +
+    # concat (Mosaic cannot lower the equivalent [blk, n_win, 3, 4, p]
+    # reshape); slot order within a row is (window, shift)-major, which no
+    # consumer observes (selection is by distance only).
     comp = [jnp.concatenate(
-        [pool[:, w * 4 * cp + c * cp:w * 4 * cp + (c + 1) * cp]
-         for w in range(n_win)], axis=1) for c in range(4)]
+        [pool[:, (w * 3 + s) * 4 * p + c * p:(w * 3 + s) * 4 * p + (c + 1) * p]
+         for w in range(n_win) for s in range(3)], axis=1) for c in range(4)]
     y0r, y1r, y2r, ci = comp                   # raw target coords + index
 
     x0 = x_ref[:, 0:1]
@@ -106,29 +111,34 @@ def _select_kernel(k, n_win, cp, *refs):
     def _init():
         kept_o[...] = jnp.zeros_like(kept_o)
 
-    # scalar stores to VMEM are not Mosaic-legal: accumulate into lane 0
-    # of the [1, 128] resident row
+    # scalar stores to VMEM are not Mosaic-legal: accumulate this block's
+    # count into lane (block_id % 128) of the [1, 128] resident row. Each
+    # lane then sums ~nblocks/128 counts of <= blk * W each — comfortably
+    # inside f32's exact-integer range (2^24) for any realistic cloud —
+    # and the final cross-lane sum happens in int32 OUTSIDE the kernel,
+    # so the overflow diagnostic stays exact at scale.
     lane_r = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    kept_o[...] += jnp.where(lane_r == 0, kept, 0.0)
+    kept_o[...] += jnp.where(lane_r == pl.program_id(0) % 128, kept, 0.0)
 
 
-def pool_select(pool, xr2, R_inv, T_inv, k: int, n_win: int, cp: int,
+def pool_select(pool, xr2, R_inv, T_inv, k: int, n_win: int, p: int,
                 blk: int = DEFAULT_BLK, interpret: bool = False):
     """K-nearest selection over the gathered candidate pool.
 
-    pool [N, n_win*4*cp] raw gathered windows; xr2 [N, 4] = source xyz +
-    gated squared radius (-1 for masked rows). Returns (key [N,k] d2 or
-    inf, cand [N,k] f32 index or -1, y0, y1, y2 [N,k] raw coords or
-    DEAD_COORD, kept [] f32 count of in-support candidates)."""
+    pool [N, n_win*12*p] raw gathered z-dilated windows (3 shift blocks of
+    [x p|y p|z p|idx p] each); xr2 [N, 4] = source xyz + gated squared
+    radius (-1 for masked rows). Returns (key [N,k] d2 or inf, cand [N,k]
+    f32 index or -1, y0, y1, y2 [N,k] raw coords or DEAD_COORD, kept []
+    int32 exact count of in-support candidates)."""
     N = pool.shape[0]
     assert N % blk == 0, (N, blk)
     scal = jnp.concatenate(
         [jnp.ravel(R_inv.astype(jnp.float32)), T_inv.astype(jnp.float32)])
-    body = functools.partial(_select_kernel, k, n_win, cp)
+    body = functools.partial(_select_kernel, k, n_win, p)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=(N // blk,),
         in_specs=[
-            pl.BlockSpec((blk, n_win * 4 * cp), lambda i, s: (i, 0),
+            pl.BlockSpec((blk, n_win * 12 * p), lambda i, s: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((blk, 4), lambda i, s: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -145,4 +155,4 @@ def pool_select(pool, xr2, R_inv, T_inv, k: int, n_win: int, cp: int,
     ko, co, y0, y1, y2, kept = pl.pallas_call(
         body, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
     )(scal, pool, xr2)
-    return ko, co, y0, y1, y2, kept[0, 0]
+    return ko, co, y0, y1, y2, jnp.sum(kept[0].astype(jnp.int32))
