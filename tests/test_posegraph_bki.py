@@ -299,3 +299,47 @@ def test_marginal_prior_is_consistent_quadratic():
         np.abs(pg.keyframe_poses[k] - poses_before[k]).max()
         for k in range(len(poses_before)))
     assert moved < 5e-3, moved
+
+
+def test_incremental_flat_cost_1000_keyframes(rng):
+    """iSAM2-analogue incremental mode (round-5 verdict task 7): on a
+    1000-keyframe odometry run with periodic local loop factors, the
+    per-keyframe optimize() cost must stay flat with trajectory length
+    (the batch path re-solves the whole graph each call), and the chain
+    must remain consistent with the measurements."""
+    import time
+
+    from unified_cvo_tpu.models.posegraph import (PoseGraph, PoseGraphConfig,
+                                                  RelativePose)
+
+    pg = PoseGraph(PoseGraphConfig(incremental=True,
+                                   keyframe_function_angle_threshold=1.0,
+                                   optimize_iters=4))
+    pg.add_first_frame(0)
+    step = np.eye(4)
+    step[:3, 3] = [0.0, 0.0, 0.4]
+    F = 1000
+    stamps = []
+    for k in range(1, F):
+        noisy = step.copy()
+        noisy[:3, 3] += rng.normal(0, 0.01, 3)
+        extra = None
+        if k % 25 == 0 and k >= 2:
+            # short-range loop factor two keyframes back
+            rel = np.eye(4)
+            rel[:3, 3] = 2 * step[:3, 3]
+            extra = [RelativePose(curr_id=k, ref_id=k - 2,
+                                  transform=rel, inner_product=0.5)]
+        t0 = time.perf_counter()
+        pg.add_frame(k, noisy, function_angle=0.5, extra_factors=extra)
+        stamps.append(time.perf_counter() - t0)
+    early = float(np.median(stamps[100:200]))
+    late = float(np.median(stamps[-100:]))
+    # flat per-keyframe cost: late keyframes may not cost more than ~2x
+    # the early ones (jit caches warm by frame 100; the batch solver is
+    # O(F) per call and fails this by an order of magnitude at F=1000)
+    assert late < 2.0 * early + 2e-3, (early, late)
+    # consistency: the optimized chain tracks the odometry measurements
+    est = pg.keyframe_poses[-1][:3, 3]
+    expect = (F - 1) * step[:3, 3]
+    assert np.linalg.norm(est - expect) < 0.4 * np.sqrt(F), (est, expect)

@@ -56,6 +56,9 @@ def run_sequence(
     capacity: int = CAPACITY,
     keyframe_function_angle: float = 0.6,
     window_size: int = 8,
+    incremental: bool = False,   # window_size=0 + incremental=True = the
+    #   iSAM2-analogue full-graph mode (flat per-keyframe cost; see
+    #   PoseGraphConfig.incremental)
     denoise: bool = True,
     log=print,
 ):
@@ -71,7 +74,7 @@ def run_sequence(
                                 ell=map_ell)
     pg = PoseGraph(PoseGraphConfig(
         keyframe_function_angle_threshold=keyframe_function_angle,
-        window_size=window_size))
+        window_size=window_size, incremental=incremental))
     keyframes: list[Keyframe] = []
 
     if poses_given is None:

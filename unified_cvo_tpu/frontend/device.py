@@ -175,6 +175,88 @@ def _rgbd_impl(image, depth, Kinv, depth_scale, pot, capacity, max_range,
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("pot", "capacity", "max_disp", "max_range", "v_min",
+                     "v_bottom_margin", "denoise"),
+)
+def _stereo_impl(left, right_gray, Kinv, fx_baseline, pot, capacity,
+                 max_disp, max_range, v_min, v_bottom_margin, denoise):
+    from unified_cvo_tpu.ops.sgm import sgm_disparity_device
+
+    img = jnp.asarray(left, jnp.float32)
+    if denoise:
+        from unified_cvo_tpu.ops.nlm import nlm_denoise
+
+        img = nlm_denoise(img)
+    gray, grad, gs = device_gray_and_gradients(img)
+    rg = jnp.asarray(right_gray, jnp.float32)
+    if rg.ndim == 3:
+        rg, _, _ = device_gray_and_gradients(rg)
+    disp = sgm_disparity_device(gray, rg, max_disp=max_disp)
+    ths = dso_block_thresholds(gs)
+    uv, valid = dso_select_device(gs, ths, pot, capacity)
+    u, v = uv[:, 0], uv[:, 1]
+    h, w = gray.shape
+
+    # pt_depth_from_disparity gates (StaticStereo.hpp:29-43): interior
+    # pixel, disparity > 0.05; depth = |b| fx / disp
+    d = disp[v, u]
+    d_ok = ((u >= 1) & (u <= w - 2) & (v >= 1) & (v <= h - 2) & (d > 0.05))
+    depth = fx_baseline / jnp.where(d_ok, d, 1.0)
+    homo = jnp.stack([u.astype(jnp.float32), v.astype(jnp.float32),
+                      jnp.ones_like(u, jnp.float32)], axis=1)
+    xyz = (homo @ Kinv.T) * depth[:, None]
+    # is_good_point (CvoPointCloud.cpp:39-57)
+    good = ((u >= 2) & (u <= w - 2) & (v >= v_min)
+            & (v <= h - v_bottom_margin)
+            & (jnp.linalg.norm(xyz, axis=1) < max_range))
+
+    g = grad[v, u] / 500.0 + 0.5
+    if img.ndim == 3:
+        feats = jnp.concatenate([img[v, u] / 255.0, g], axis=-1)
+    else:
+        feats = jnp.concatenate([gray[v, u, None] / 255.0, g], axis=-1)
+    mask = (valid & d_ok & good).astype(jnp.float32)
+    gtype = jnp.tile(jnp.asarray([[0.9, 0.1]], jnp.float32), (capacity, 1))
+    return PointCloud(
+        xyz=jnp.where(mask[:, None] > 0, xyz, 0.0),
+        mask=mask,
+        features=jnp.where(mask[:, None] > 0, feats, 0.0),
+        labels=None,
+        geometric_types=gtype,
+    )
+
+
+def device_pointcloud_from_stereo(
+    left: np.ndarray,
+    right_gray: np.ndarray,
+    calib: Calibration,
+    pot: int = 3,
+    capacity: int = 8192,
+    max_disp: int = 128,
+    max_range: float = 55.0,
+    v_min: int = 100,
+    v_bottom_margin: int = 30,
+    denoise: bool = False,
+) -> PointCloud:
+    """Whole stereo frontend in one jit: left BGR + right gray in,
+    device-resident PointCloud out — disparity (ops/sgm.py census-SGM),
+    DSO selection, backprojection, and the reference's good-point gates
+    never leave the accelerator. The host twin is
+    frontend/pipeline.py::pointcloud_from_stereo; v_min/v_bottom_margin
+    are the reference's hard-coded sky/hood crop (CvoPointCloud.cpp:39-57).
+    """
+    Kinv = jnp.asarray(np.linalg.inv(calib.intrinsic), jnp.float32)
+    # ship images in their native dtype (uint8 = 4x fewer bytes than f32
+    # over a remote-TPU tunnel); _stereo_impl casts on device
+    return _stereo_impl(
+        jnp.asarray(left), jnp.asarray(right_gray),
+        Kinv, jnp.float32(abs(calib.baseline) * calib.fx),
+        pot, capacity, max_disp, max_range, v_min, v_bottom_margin, denoise,
+    )
+
+
 def device_pointcloud_from_rgbd(
     image: np.ndarray,
     depth: np.ndarray,

@@ -164,15 +164,43 @@ def _chunk_globalize_fn(cap: int, c1: int):
     return jax.jit(run)
 
 
+def _segment_rows_sum(contrib, segid, nm, c1):
+    """Per-segment sums of [nm, c1] rows with SORTED segment ids, without a
+    wide segment_sum: `jax.ops.segment_sum` on a minor-dim-c1 operand
+    lowers to a per-index scatter-add (~240 ms for 2M x 20 rows on the
+    v5e, the round-4 'sort throughput' wall mis-attributed); the
+    cumsum-diff formulation is pure streaming (~6x faster, round 5).
+
+    alpha[s] = cum[end(s)] - cum[end(s-1)] where cum is the running prefix
+    over rows and end(s) is each segment's last row. Precision: f32 prefix
+    totals reach ~sigma0 * nm, so per-class absolute error is bounded by
+    ~eps * sigma0 * nm (~0.01 for a 2M-row chunk at sigma0=0.1) — far
+    below sensor noise on any alpha this map accumulates."""
+    cum = jnp.cumsum(contrib, axis=0)
+    pos = jax.ops.segment_min(jnp.arange(nm, dtype=jnp.int32), segid,
+                              num_segments=nm, indices_are_sorted=True)
+    nxt = jnp.concatenate([pos[1:], jnp.full((1,), nm, jnp.int32)])
+    end = jnp.clip(nxt - 1, 0, nm - 1)
+    cum_end = cum[end]                                       # [nm, c1]
+    return cum_end - jnp.concatenate(
+        [jnp.zeros((1, c1), cum.dtype), cum_end[:-1]])
+
+
 @functools.lru_cache(maxsize=None)
-def _merge_fn(rows: int, c1: int, prior: float):
+def _merge_fn(rows: int, c1: int, prior: float, n_src: int = 0):
     """Jitted device merge: (batch ++ map) -> sorted unique voxels.
 
     Sorts the (hi, lo) key pairs carrying a row index (2-key lex sort ==
     int64 key order), gathers alpha rows once, segment-reduces duplicates,
     and adds the Dirichlet prior to voxels that carry no map row. Valid
     unique voxels land in a prefix (sentinels sort last); only the new
-    size crosses to the host."""
+    size crosses to the host.
+
+    n_src > 0 asserts that every concatenated source (each chunk, the
+    map) holds a voxel AT MOST ONCE, so segments have <= n_src rows and
+    the alpha reduction is n_src-1 EXACT shifted adds gathered at the
+    segment heads — a wide sorted segment_sum lowers to a per-index
+    scatter-add (~240 ms at 2M x 20 on the v5e, round-5 finding)."""
 
     def run(hi, lo, alpha, from_map):
         idx = jnp.arange(rows, dtype=jnp.int32)
@@ -185,8 +213,20 @@ def _merge_fn(rows: int, c1: int, prior: float):
         segid = jnp.cumsum(newseg.astype(jnp.int32)) - 1
         valid_row = hi_s != _SENT
         nseg = jnp.sum((newseg & valid_row).astype(jnp.int32))
-        al_out = jax.ops.segment_sum(al_s, segid, num_segments=rows,
-                                     indices_are_sorted=True)
+        if n_src > 0:
+            total = al_s
+            for k in range(1, n_src):
+                same = segid[k:] == segid[:-k]
+                shifted = jnp.concatenate(
+                    [al_s[k:], jnp.zeros((k, c1), al_s.dtype)])
+                total = total + jnp.where(
+                    jnp.concatenate([same, jnp.zeros((k,), bool)])[:, None],
+                    shifted, 0.0)
+            head = jax.ops.segment_min(idx, segid, num_segments=rows,
+                                       indices_are_sorted=True)
+            al_out = total[jnp.clip(head, 0, rows - 1)]
+        else:
+            al_out = _segment_rows_sum(al_s, segid, rows, c1)
         fm_out = jax.ops.segment_max(fm_s, segid, num_segments=rows,
                                      indices_are_sorted=True)
         hi_out = jax.ops.segment_min(hi_s, segid, num_segments=rows,
@@ -236,8 +276,7 @@ def _scatter_fn(n: int, m: int, c1: int):
         ks, ws, ns = lax.sort((key, wf, nidx), num_keys=1)
         start, segid = _segment_starts(ks)
         contrib = ws[:, None] * ev[ns]                           # [n*m, c1]
-        alpha = jax.ops.segment_sum(contrib, segid, num_segments=n * m,
-                                    indices_are_sorted=True)
+        alpha = _segment_rows_sum(contrib, segid, n * m, c1)
         return _compact(ks, segid, n * m, start, alpha)
 
     return jax.jit(run)
@@ -388,8 +427,8 @@ class SemanticBKIMap:
             lo = jnp.concatenate([lo, jnp.full((padn,), _SENT)])
             al = jnp.concatenate([al, jnp.zeros((padn, c1), jnp.float32)])
             fm = jnp.concatenate([fm, jnp.zeros((padn,), jnp.float32)])
-        hi_o, lo_o, al_o, nseg_d = _merge_fn(rows_p, c1, float(self.prior))(
-            hi, lo, al, fm)
+        hi_o, lo_o, al_o, nseg_d = _merge_fn(
+            rows_p, c1, float(self.prior), n_src=len(his))(hi, lo, al, fm)
         size = int(nseg_d)                       # the ONE merge host sync
         cap = 1 << max(14, (size - 1).bit_length()) if size else 1 << 14
         cap = min(cap, rows_p)

@@ -219,6 +219,19 @@ class PoseGraphConfig:
     #   windows with a marginal prior always solve dense (bounded size)
     robust_delta: Optional[float] = None   # Huber threshold [tangent norm]
     #   for robust edge reweighting (None = pure least squares)
+    incremental: bool = False  # iSAM2-analogue active-subgraph updates
+    #   (PoseGraph.cpp:421 uses gtsam::ISAM2, whose per-keyframe cost is
+    #   bounded by the affected sub-tree, not the trajectory length).
+    #   When on (and window_size == 0), optimize() solves only the frames
+    #   touched since the last call, expanded inc_hops over the factor
+    #   graph, with the subgraph boundary held fixed as anchors; frames
+    #   whose pose moves more than inc_update_threshold re-activate their
+    #   neighbourhood next round (the fluid-relinearization analogue), so
+    #   a loop closure cascades as far as it actually reaches while pure
+    #   odometry updates stay O(window) regardless of trajectory length.
+    inc_hops: int = 2
+    inc_update_threshold: float = 1e-3
+    inc_max_rounds: int = 4
 
 
 class PoseGraph:
@@ -239,6 +252,7 @@ class PoseGraph:
         #  "lin": [K,4,4] linearization poses} — None until the window
         # first slides
         self.prior: Optional[dict] = None
+        self._touched: set = set()      # keyframes affected since last solve
 
     @property
     def num_keyframes(self):
@@ -274,8 +288,11 @@ class PoseGraph:
         )
         self.keyframe_poses.append(world_T_frame)
         self.keyframe_ids.append(frame_id)
+        self._touched.add(len(self.keyframe_poses) - 1)
         if extra_factors:
             self.factors.extend(extra_factors)
+            for f in extra_factors:
+                self._touched.update((f.ref_id, f.curr_id))
         self.optimize()
         return True
 
@@ -377,9 +394,98 @@ class PoseGraph:
         self.factors = keep
         self.window_lo = new_lo
 
+    def _solve_subgraph(self, S, sub, fixed_mask):
+        """Bucketed GN over variable set S (global kf indices, sorted) with
+        factors `sub`; fixed_mask marks anchor frames. Updates
+        self.keyframe_poses in place; returns per-frame tangent-ish update
+        magnitudes (dict id -> float)."""
+        loc = {s: k for k, s in enumerate(S)}
+        Fw, E = len(S), len(sub)
+        Fp = max(8, 1 << (Fw - 1).bit_length())
+        Ep = max(8, 1 << (E - 1).bit_length())
+        poses_np = np.tile(np.eye(4, dtype=np.float32), (Fp, 1, 1))
+        poses_np[:Fw] = np.stack([self.keyframe_poses[s] for s in S])
+        fi = jnp.asarray([loc[f.ref_id] for f in sub] + [0] * (Ep - E),
+                         jnp.int32)
+        fj = jnp.asarray([loc[f.curr_id] for f in sub] + [0] * (Ep - E),
+                         jnp.int32)
+        Z_np = np.tile(np.eye(4, dtype=np.float32), (Ep, 1, 1))
+        Z_np[:E] = np.stack([f.transform for f in sub])
+        w = jnp.asarray(
+            [self.config.odometry_weight] * E + [0.0] * (Ep - E), jnp.float32)
+        fixed = np.ones(Fp, np.float32)
+        fixed[:Fw] = fixed_mask
+        out, _ = optimize_pose_graph(
+            jnp.asarray(poses_np), fi, fj, jnp.asarray(Z_np), w,
+            jnp.asarray(fixed), iters=self.config.optimize_iters,
+            solver="dense", robust_delta=self.config.robust_delta,
+        )
+        out = np.asarray(out, np.float64)
+        moved = {}
+        for k, s in enumerate(S):
+            if fixed_mask[k]:
+                continue
+            d = float(np.abs(out[k][:3, :4]
+                             - self.keyframe_poses[s][:3, :4]).max())
+            self.keyframe_poses[s] = out[k]
+            moved[s] = d
+        return moved
+
+    def _optimize_incremental(self):
+        """Active-subgraph update (config.incremental docstring). Per-call
+        cost is bounded by the affected neighbourhood, not the trajectory
+        length — measured flat over a 1000-keyframe odometry run
+        (tests/test_posegraph_bki.py::test_incremental_flat_cost)."""
+        F = len(self.keyframe_poses)
+        touched = self._touched or {F - 1}
+        self._touched = set()
+        adj = {}
+        for f in self.factors:
+            adj.setdefault(f.ref_id, []).append(f)
+            adj.setdefault(f.curr_id, []).append(f)
+        cfg = self.config
+        for _ in range(cfg.inc_max_rounds):
+            active = set(touched)
+            for _ in range(cfg.inc_hops):
+                front = set()
+                for s in active:
+                    for f in adj.get(s, ()):  # noqa: B909
+                        front.add(f.ref_id)
+                        front.add(f.curr_id)
+                active |= front
+            sub, boundary = [], set()
+            for f in self.factors:
+                if f.ref_id in active or f.curr_id in active:
+                    sub.append(f)
+                    if f.ref_id not in active:
+                        boundary.add(f.ref_id)
+                    if f.curr_id not in active:
+                        boundary.add(f.curr_id)
+            if not sub:
+                return
+            S = sorted(active | boundary)
+            fixed_mask = np.asarray(
+                [1.0 if s in boundary else 0.0 for s in S], np.float32)
+            if not boundary:
+                fixed_mask[S.index(0) if 0 in active else 0] = 1.0  # gauge
+            moved = self._solve_subgraph(S, sub, fixed_mask)
+            # only significant movement at the ACTIVE RIM (frames sharing a
+            # factor with the fixed boundary) can justify pulling more of
+            # the graph in; interior frames were already solved consistently
+            rim = {s for s in moved
+                   if any(f.ref_id in boundary or f.curr_id in boundary
+                          for f in adj.get(s, ()))}
+            touched = {s for s, d in moved.items()
+                       if d > cfg.inc_update_threshold} & rim
+            if not touched:
+                return
+
     def optimize(self):
         F = len(self.keyframe_poses)
         if F < 2 or not self.factors:
+            return
+        if self.config.incremental and not self.config.window_size:
+            self._optimize_incremental()
             return
         lo = self.window_lo
         if self.config.window_size and F - lo > self.config.window_size:
