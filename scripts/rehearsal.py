@@ -191,9 +191,14 @@ def rehearse_irls_synthetic(out_dir: str, frames: int, capacity: int):
 
     seq_dir = os.path.join(out_dir, "synth_tum_irls")
     calib = synth.tum_calibration()
-    scene = synth.room_scene(7, half=6.0, n_pillars=3)
-    traj = synth.loop_trajectory(16, radius=2.5)
-    print("[irls-proxy] rendering 16-frame BA loop ...")
+    # the proven BA fixture geometry (tests/test_e2e_accuracy.py tum_seq):
+    # slow corridor motion keeps consecutive-keyframe overlap high enough
+    # that no edge is gated out by multiframe_min_nonzeros
+    scene = synth.corridor_scene(5, half_width=2.5, floor_y=1.2,
+                                 ceil_y=-1.2, length=30.0)
+    traj = synth.corridor_trajectory(16, step=0.08, yaw_rate=0.015,
+                                     bob=0.005)
+    print("[irls-proxy] rendering 16-frame BA corridor ...")
     synth.write_tum_sequence(seq_dir, scene, traj, calib)
     yaml_path = os.path.join(out_dir, "irls_rehearsal.yaml")
     with open(yaml_path, "w") as f:
@@ -205,11 +210,21 @@ def rehearse_irls_synthetic(out_dir: str, frames: int, capacity: int):
                 "multiframe_iterations_per_ell: 10\n")
     frame_inds = [0, 2, 4, 6, 8, 10, 12, 14]
     gt = traj[frame_inds]
+    # rotation + translation perturbations (translation-only initial error
+    # lets a small-cloud BA converge at its start point; rotations create
+    # genuine residual signal — the e2e test's _perturbed recipe)
     rng = np.random.default_rng(1)
     init = gt.copy()
     for k in range(1, len(init)):
         init[k] = init[k].copy()
-        init[k][:3, 3] += rng.normal(0, 0.02, 3)
+        init[k][:3, 3] += rng.normal(0, 0.03, 3)
+        w = rng.normal(0, 0.015, 3)
+        th = np.linalg.norm(w)
+        K = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]],
+                      [-w[1], w[0], 0]])
+        dR = (np.eye(3) + np.sin(th) / th * K
+              + (1 - np.cos(th)) / th ** 2 * (K @ K))
+        init[k][:3, :3] = init[k][:3, :3] @ dR
     edges = [(i, i + 1) for i in range(len(frame_inds) - 1)] + \
             [(i, i + 2) for i in range(len(frame_inds) - 2)]
     graph = os.path.join(out_dir, "irls_graph.txt")
@@ -223,8 +238,8 @@ def rehearse_irls_synthetic(out_dir: str, frames: int, capacity: int):
     _, after = read_tum_trajectory(prefix + "_after.txt")
     ate_b, ate_a = ate_rmse(gt, before), ate_rmse(gt, after)
     print(f"[irls-proxy] before BA ate: {ate_b:.4f} m, after BA ate: "
-          f"{ate_a:.4f} m (contract: after < before)")
-    return ate_a < ate_b
+          f"{ate_a:.4f} m (contract: after < 0.6 * before)")
+    return ate_a < 0.6 * ate_b
 
 
 def rehearse_kitti_real(root: str, out_dir: str, capacity: int):

@@ -407,12 +407,19 @@ def align_core(
             nl = body.nl
             if use_fused_ell:
                 # fully-reduced flow: omega/v moments accumulate inside
-                # the kernel, no [*, N] row outputs or follow-on pass
-                twist, joint_norm, nonzeros, a_sum = pe.flow_twist_ell_fused(
-                    params, c.ell, source, nl, Rinv, Tinv,
-                    tile_n=fused_flow_tile, interpret=fused_interp)
-                B, C, D, E = pe.step_coeffs_ell_fused(
-                    params, c.ell, source, nl, Rinv, Tinv, twist,
+                # the kernel, no [*, N] row outputs or follow-on pass.
+                # The flow pass also streams the kernel matrix A out
+                # (emit_a) so the step pass skips recomputing the
+                # exp/gate chain — bitwise-identical B..E with ~4 fewer
+                # live arrays in the VMEM-bound step tile (round-5 A/B:
+                # ~7% off the combined pair)
+                twist, joint_norm, nonzeros, a_sum, a_ell = (
+                    pe.flow_twist_ell_fused(
+                        params, c.ell, source, nl, Rinv, Tinv,
+                        tile_n=fused_flow_tile, interpret=fused_interp,
+                        emit_a=True))
+                B, C, D, E = pe.step_coeffs_ell_fused_cached(
+                    params, c.ell, source, nl, Rinv, Tinv, twist, a_ell,
                     tile_n=fused_step_tile, interpret=fused_interp)
             else:
                 stats, a_ell, y_t_slots = nbr.flow_stats_ell(
@@ -729,7 +736,16 @@ def align(
                 jax.clear_caches()
                 source, target, init_guess = jax.tree.map(jnp.asarray, host)
             except Exception:
-                raise last  # client unrecoverable — surface the original
+                # measured on the axon platform: once the fault fires, the
+                # SERVER-side session is poisoned — a fresh client cannot
+                # even device_put. Nothing in-process can recover; tell
+                # the caller what actually happened and what to do.
+                raise RuntimeError(
+                    "the remote TPU session is wedged (known axon platform "
+                    "fault, intermittently triggered by multi-variant "
+                    "dense-Pallas execution); restart the process. The "
+                    "auto backend avoids this path — it was reached via "
+                    "an explicit backend='pallas' request") from last
     raise last
 
 

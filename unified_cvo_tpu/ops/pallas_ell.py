@@ -181,12 +181,19 @@ def _flow_kernel(use_geometry, has_chan, *refs):
     cnt_out[:] = jnp.sum((a > 0).astype(jnp.float32), axis=0, keepdims=True)
 
 
-def _flow_reduce_kernel(use_geometry, has_chan, *refs):
+def _flow_reduce_kernel(use_geometry, has_chan, emit_a, *refs):
     """Fully-reduced flow pass: each grid step writes ONE [8, 1] column of
     tile partials (omega*c / v*d unscaled moments, a_sum, nonzeros) —
     no [*, N] row outputs leave the kernel, so the pass is read-only on
     HBM apart from 8 floats per tile. The cross product and the
-    (wy - s x) moment use the same x rows already resident for the gate."""
+    (wy - s x) moment use the same x rows already resident for the gate.
+
+    emit_a additionally streams the kernel matrix A out as [K, N] blocks
+    (one extra 4*K*N-byte write) so the step pass can skip recomputing
+    the exp/gate chain — its VMEM-bound tile then carries ~4 fewer live
+    arrays (see step_coeffs_ell_fused_cached)."""
+    if emit_a:
+        *refs, a_out = refs
     if has_chan:
         s_ref, x_ref, y_ref, chan_ref, acc_out = refs
         chan = chan_ref[:]
@@ -216,6 +223,27 @@ def _flow_reduce_kernel(use_geometry, has_chan, *refs):
         acc_out[:] = jnp.zeros_like(acc_out)
 
     acc_out[:] += folded
+    if emit_a:
+        a_out[:] = a
+
+
+def _step_kernel_cached(use_geometry, has_chan, *refs):
+    """Step pass consuming the flow pass's cached kernel matrix A instead
+    of recomputing the exp/gate chain: identical outputs (same A values,
+    same reduction order), ~4 fewer live [K, TILE] arrays in the
+    VMEM-bound tile. y_t is still recomputed from the raw coords (9 fmas
+    on streams already resident); use_geometry/has_chan only existed for
+    the A computation and are ignored."""
+    s_ref, x_ref, y_ref, a_ref, bcde_out = refs
+    x = x_ref[:]
+    y = y_ref[:]
+    a = a_ref[:]
+    y_t = [
+        y[0] * s_ref[_S_RINV + 3 * c] + y[1] * s_ref[_S_RINV + 3 * c + 1]
+        + y[2] * s_ref[_S_RINV + 3 * c + 2] + s_ref[_S_TINV + c]
+        for c in range(3)
+    ]
+    _step_tail(s_ref, x, y_t, a, bcde_out)
 
 
 def _step_kernel(use_geometry, has_chan, reduced, *refs):
@@ -228,6 +256,10 @@ def _step_kernel(use_geometry, has_chan, reduced, *refs):
     x = x_ref[:]
     y = y_ref[:]
     y_t, a = _transform_and_a(s_ref, x, y, chan, use_geometry)
+    _step_tail(s_ref, x, y_t, a, bcde_out, reduced)
+
+
+def _step_tail(s_ref, x, y_t, a, bcde_out, reduced=True):
     # every Taylor term is multiplied by `a`, but dead slots carry
     # +DEAD_COORD coordinates and beta^4 of a 1e9-scale value overflows to
     # inf (0 * inf = NaN) — zeroing y_t where a == 0 keeps all powers
@@ -304,7 +336,8 @@ def _step_kernel(use_geometry, has_chan, reduced, *refs):
 
 
 def _call(kernel, n_out_rows, params, scal, xp, y_xyz, chan, tile_n,
-          interpret, extra_static=(), reduced=False):
+          interpret, extra_static=(), reduced=False, a_in=None,
+          emit_a=False):
     K, N = y_xyz.shape[1], y_xyz.shape[2]
     has_chan = chan is not None
     body = functools.partial(
@@ -320,6 +353,10 @@ def _call(kernel, n_out_rows, params, scal, xp, y_xyz, chan, tile_n,
         in_specs.append(pl.BlockSpec((K, tile_n), lambda i, s: (0, i),
                                      memory_space=pltpu.VMEM))
         operands.append(chan)
+    if a_in is not None:
+        in_specs.append(pl.BlockSpec((K, tile_n), lambda i, s: (0, i),
+                                     memory_space=pltpu.VMEM))
+        operands.append(a_in)
     if reduced:
         # [rows, 128] lane-partial accumulator, resident in VMEM across
         # all grid steps (constant index_map); kernels += their folded
@@ -339,6 +376,12 @@ def _call(kernel, n_out_rows, params, scal, xp, y_xyz, chan, tile_n,
         ]
         out_shape = [jax.ShapeDtypeStruct((r, N), jnp.float32)
                      for r in n_out_rows]
+    if emit_a:
+        out_specs = list(out_specs) + [
+            pl.BlockSpec((K, tile_n), lambda i, s: (0, i),
+                         memory_space=pltpu.VMEM)]
+        out_shape = list(out_shape) + [
+            jax.ShapeDtypeStruct((K, N), jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=(N // tile_n,), in_specs=in_specs,
         out_specs=out_specs)
@@ -377,7 +420,7 @@ def flow_stats_ell_fused(params, ell, x: PointCloud, nl, R_inv, T_inv,
 
 def flow_twist_ell_fused(params, ell, x: PointCloud, nl, R_inv, T_inv,
                          tile_n: int = DEFAULT_FLOW_TILE_N,
-                         interpret: bool = False):
+                         interpret: bool = False, emit_a: bool = False):
     """Fully-reduced flow pass: (unit twist [6], joint_norm, nonzeros,
     a_sum) with the omega/v moments accumulated IN the kernel — no [*, N]
     arrays leave HBM (the row-output variant + kernels.flow_from_stats
@@ -385,13 +428,38 @@ def flow_twist_ell_fused(params, ell, x: PointCloud, nl, R_inv, T_inv,
     flow_from_stats (reference compute_flow, CvoGPU.cu:729-848)."""
     xp = pack_x(params, ell, x)
     scal = pack_scalars(params, R_inv, T_inv)
-    (acc,) = _call(_flow_reduce_kernel, (8,), params, scal, xp,
-                   nl.y_xyz, nl.chan, tile_n, interpret, reduced=True)
+    if emit_a:
+        acc, a = _call(_flow_reduce_kernel, (8,), params, scal, xp,
+                       nl.y_xyz, nl.chan, tile_n, interpret,
+                       extra_static=(True,), reduced=True, emit_a=True)
+    else:
+        (acc,) = _call(_flow_reduce_kernel, (8,), params, scal, xp,
+                       nl.y_xyz, nl.chan, tile_n, interpret,
+                       extra_static=(False,), reduced=True)
+        a = None
     t = jnp.sum(acc, axis=1)                                 # [8]
     joint = jnp.concatenate([t[:3] / params.c, t[3:6] / params.d])
     jn = jnp.linalg.norm(joint)
     unit = joint / jnp.where(jn < 1e-30, 1.0, jn)
-    return unit, jn, t[7].astype(jnp.int32), t[6]
+    out = (unit, jn, t[7].astype(jnp.int32), t[6])
+    return out + (a,) if emit_a else out
+
+
+def step_coeffs_ell_fused_cached(params, ell, x: PointCloud, nl, R_inv,
+                                 T_inv, twist, a,
+                                 tile_n: int = DEFAULT_STEP_TILE_N,
+                                 interpret: bool = False):
+    """Step pass reusing the flow pass's cached kernel matrix `a` (the
+    flow_twist_ell_fused(emit_a=True) output): identical B..E values
+    (same A, same reduction order), ~4 fewer live arrays in the
+    VMEM-bound tile."""
+    xp = pack_x(params, ell, x)
+    scal = pack_scalars(params, R_inv, T_inv, twist=twist)
+    (bcde,) = _call(_step_kernel_cached, (4,), params, scal, xp,
+                    nl.y_xyz, None, tile_n, interpret,
+                    reduced=True, a_in=a)
+    t = jnp.sum(bcde, axis=1)
+    return t[0], t[1], t[2], t[3]
 
 
 def step_coeffs_ell_fused(params, ell, x: PointCloud, nl, R_inv, T_inv,
