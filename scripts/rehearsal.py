@@ -169,7 +169,7 @@ def rehearse_lidar_synthetic(out_dir: str, frames: int, capacity: int):
         f.write("ell_init: 0.5\nell_init_first_frame: 0.8\nell_min: 0.05\n"
                 "ell_max: 1.2\nis_using_intensity: 1\n")
     out = os.path.join(out_dir, "lidar_proxy_traj.txt")
-    run_sequence(seq_dir, preset, out, capacity=8192, max_iter=300,
+    run_sequence(seq_dir, preset, out, capacity=capacity, max_iter=300,
                  log=lambda *a: None)
     est = read_kitti_poses(out)
     ate = ate_rmse(traj, est)

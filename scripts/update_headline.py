@@ -81,14 +81,20 @@ def band_and_driver(fps: float, digest: str) -> tuple[str, str]:
              "t": time.strftime("%Y-%m-%dT%H:%M:%S")}
     with runs_path.open("a") as f:
         f.write(json.dumps(entry) + "\n")
+    # the band must describe ONE hot-path tree: runs stamped with a
+    # different digest measured different code, and mixing them conflates
+    # code deltas with tunnel variance
     fpses = []
-    for line in runs_path.read_text().splitlines()[-10:]:
+    for line in runs_path.read_text().splitlines():
         try:
-            fpses.append(json.loads(line)["fps"])
+            e = json.loads(line)
+            if e.get("digest") == digest:
+                fpses.append(e["fps"])
         except (ValueError, KeyError):
             pass
-    band = (f"{min(fpses):.1f}–{max(fpses):.1f} fps across the last "
-            f"{len(fpses)} runs")
+    fpses = fpses[-10:]
+    band = (f"{min(fpses):.1f}–{max(fpses):.1f} fps across {len(fpses)} "
+            f"runs of this tree")
     driver = ""
     benches = sorted(ROOT.glob("BENCH_r*.json"))
     if benches:

@@ -382,3 +382,21 @@ def test_kitti_lidar_odometry_semantic(semantic_kitti_lidar_dir, tmp_path):
     rows = np.loadtxt(out)
     assert rows.shape == (3, 12)
     assert np.isfinite(rows).all()
+
+
+def test_kitti_odometry_device_frontend(kitti_dir, fast_params_yaml, tmp_path):
+    """The --device-frontend driver glue (census-SGM + DSO on device, one
+    jit per frame) on the constant-disparity fixture: +2 px/frame shift at
+    8 px disparity => tx = 0.125 m/frame."""
+    from unified_cvo_tpu.apps.kitti_odometry import run_sequence
+
+    out = str(tmp_path / "dev_traj.txt")
+    poses = run_sequence(
+        kitti_dir, fast_params_yaml, out, 0, 3, max_iter=150, capacity=2048,
+        chunk=1024, frontend="device", log=lambda *a: None,
+    )
+    assert poses.shape[0] == 3
+    assert np.isfinite(poses).all()
+    # translation magnitude per frame near 0.125 m along x
+    step = poses[2][:3, 3] - poses[1][:3, 3]
+    assert abs(abs(step[0]) - 0.125) < 0.05, step

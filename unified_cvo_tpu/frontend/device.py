@@ -185,6 +185,10 @@ def _stereo_impl(left, right_gray, Kinv, fx_baseline, pot, capacity,
     from unified_cvo_tpu.ops.sgm import sgm_disparity_device
 
     img = jnp.asarray(left, jnp.float32)
+    # matching runs on the RAW pair (the host twin computes disparity from
+    # the raw images too — denoising only the left would change census
+    # rankings asymmetrically); denoise feeds features/gradients only
+    gray_raw, _, _ = device_gray_and_gradients(img)
     if denoise:
         from unified_cvo_tpu.ops.nlm import nlm_denoise
 
@@ -193,7 +197,7 @@ def _stereo_impl(left, right_gray, Kinv, fx_baseline, pot, capacity,
     rg = jnp.asarray(right_gray, jnp.float32)
     if rg.ndim == 3:
         rg, _, _ = device_gray_and_gradients(rg)
-    disp = sgm_disparity_device(gray, rg, max_disp=max_disp)
+    disp = sgm_disparity_device(gray_raw, rg, max_disp=max_disp)
     ths = dso_block_thresholds(gs)
     uv, valid = dso_select_device(gs, ths, pot, capacity)
     u, v = uv[:, 0], uv[:, 1]

@@ -671,14 +671,21 @@ def align(
     variant in one process can intermittently fail with
     `INVALID_ARGUMENT: TPU backend error` (round-4 verdict; reproduced on
     the axon platform with two max_iter variants at demo shapes). When the
-    resolved backend is 'pallas' on an accelerator and the call is
-    concrete (not inside a trace), the wrapper forces execution with one
-    tiny host fetch of `ret`; on a runtime failure it retries once and
-    then falls back to the blocked-XLA 'jnp' backend, which computes the
-    same quantities. The fence costs one tunnel round-trip per align on
-    the dense path only — the ELL path (every large-cloud workload) is
-    unaffected."""
+    resolved backend is 'pallas' on an accelerator, the call is concrete
+    (not inside a jit/vmap trace), and the clouds are SMALL (the scale the
+    fault was observed at), the wrapper snapshots the inputs to host,
+    forces execution with a host fetch of `ret`, and on a runtime failure
+    retries, resets the TPU client, and falls back to the blocked-XLA
+    'jnp' backend. Large-cloud explicit-pallas calls skip the fence — its
+    host snapshot would cost more than it protects (and the ELL path,
+    every large-cloud production workload, never routes here)."""
     shard = psum_axis is not None or ring_axis is not None
+    if shard and backend not in ("auto", "jnp"):
+        # preserve align_core's explicit validation rather than silently
+        # downgrading the user's backend choice
+        raise ValueError(
+            "sharded align runs the blocked-jnp kernels per shard; "
+            f"backend={backend!r} is not supported with psum_axis/ring_axis")
     resolved = "jnp" if shard else resolve_backend(
         params, source.capacity, target.capacity, backend, adaptive_ell)
 
@@ -686,13 +693,18 @@ def align(
         out = align_core(source, target, init_guess, params, backend=bk,
                          adaptive_ell=adaptive_ell, psum_axis=psum_axis,
                          ring_axis=ring_axis, **kwargs)
-        if not isinstance(out[1], jax.core.Tracer):
-            import numpy as np
+        import numpy as np
 
-            np.asarray(out[1])          # transitively forces the solve
+        np.asarray(out[1])              # transitively forces the solve
         return out
 
-    if resolved != "pallas" or jax.default_backend() == "cpu":
+    tracing = any(
+        isinstance(leaf, jax.core.Tracer)
+        for leaf in jax.tree.leaves((source, target, init_guess)))
+    fence = (resolved == "pallas" and jax.default_backend() != "cpu"
+             and not tracing
+             and max(source.capacity, target.capacity) <= 8192)
+    if not fence:
         return align_core(source, target, init_guess, params,
                           backend=resolved, adaptive_ell=adaptive_ell,
                           psum_axis=psum_axis, ring_axis=ring_axis, **kwargs)

@@ -427,8 +427,16 @@ class SemanticBKIMap:
             lo = jnp.concatenate([lo, jnp.full((padn,), _SENT)])
             al = jnp.concatenate([al, jnp.zeros((padn, c1), jnp.float32)])
             fm = jnp.concatenate([fm, jnp.zeros((padn,), jnp.float32)])
+        # cap the exact shifted-add unroll: each extra source is a full
+        # [rows, c1] pass AND a fresh compiled program per source count
+        # (seconds over the remote tunnel). Inserts beyond the cap (>12
+        # chunks ~ >98k occupied points at once) take the streaming
+        # cumsum-diff reduction (n_src=0) — its f32 prefix error scales
+        # with the total alpha mass in the merge, so the exact path is
+        # preferred whenever the unroll stays cheap.
+        n_src = len(his) if len(his) <= 12 else 0
         hi_o, lo_o, al_o, nseg_d = _merge_fn(
-            rows_p, c1, float(self.prior), n_src=len(his))(hi, lo, al, fm)
+            rows_p, c1, float(self.prior), n_src=n_src)(hi, lo, al, fm)
         size = int(nseg_d)                       # the ONE merge host sync
         cap = 1 << max(14, (size - 1).bit_length()) if size else 1 << 14
         cap = min(cap, rows_p)

@@ -253,6 +253,9 @@ class PoseGraph:
         # first slides
         self.prior: Optional[dict] = None
         self._touched: set = set()      # keyframes affected since last solve
+        self._adj: dict = {}            # frame -> [factor index] (lazily
+        #   extended in _optimize_incremental; O(new factors) per call)
+        self._adj_n = 0
 
     @property
     def num_keyframes(self):
@@ -415,10 +418,16 @@ class PoseGraph:
             [self.config.odometry_weight] * E + [0.0] * (Ep - E), jnp.float32)
         fixed = np.ones(Fp, np.float32)
         fixed[:Fw] = fixed_mask
+        solver = self.config.solver
+        if solver == "auto":
+            # same policy as the batch path: dense Cholesky for small
+            # active sets, matrix-free block-PCG when a loop-closure
+            # cascade activates a large subgraph
+            solver = "cg" if Fw > 64 else "dense"
         out, _ = optimize_pose_graph(
             jnp.asarray(poses_np), fi, fj, jnp.asarray(Z_np), w,
             jnp.asarray(fixed), iters=self.config.optimize_iters,
-            solver="dense", robust_delta=self.config.robust_delta,
+            solver=solver, robust_delta=self.config.robust_delta,
         )
         out = np.asarray(out, np.float64)
         moved = {}
@@ -439,28 +448,38 @@ class PoseGraph:
         F = len(self.keyframe_poses)
         touched = self._touched or {F - 1}
         self._touched = set()
-        adj = {}
-        for f in self.factors:
-            adj.setdefault(f.ref_id, []).append(f)
-            adj.setdefault(f.curr_id, []).append(f)
+        # extend the cached adjacency with factors added since last call
+        # (append-only in incremental mode; windowed marginalization,
+        # which rewrites self.factors, never routes here)
+        for fidx in range(self._adj_n, len(self.factors)):
+            f = self.factors[fidx]
+            self._adj.setdefault(f.ref_id, []).append(fidx)
+            self._adj.setdefault(f.curr_id, []).append(fidx)
+        self._adj_n = len(self.factors)
+        adj = self._adj
         cfg = self.config
         for _ in range(cfg.inc_max_rounds):
             active = set(touched)
             for _ in range(cfg.inc_hops):
                 front = set()
                 for s in active:
-                    for f in adj.get(s, ()):  # noqa: B909
+                    for fidx in adj.get(s, ()):  # noqa: B909
+                        f = self.factors[fidx]
                         front.add(f.ref_id)
                         front.add(f.curr_id)
                 active |= front
+            # factors touching the active set, via the adjacency lists
+            # (O(active neighbourhood), not O(all factors))
+            sub_idx = sorted({fidx for s in active
+                              for fidx in adj.get(s, ())})
             sub, boundary = [], set()
-            for f in self.factors:
-                if f.ref_id in active or f.curr_id in active:
-                    sub.append(f)
-                    if f.ref_id not in active:
-                        boundary.add(f.ref_id)
-                    if f.curr_id not in active:
-                        boundary.add(f.curr_id)
+            for fidx in sub_idx:
+                f = self.factors[fidx]
+                sub.append(f)
+                if f.ref_id not in active:
+                    boundary.add(f.ref_id)
+                if f.curr_id not in active:
+                    boundary.add(f.curr_id)
             if not sub:
                 return
             S = sorted(active | boundary)
@@ -473,8 +492,9 @@ class PoseGraph:
             # factor with the fixed boundary) can justify pulling more of
             # the graph in; interior frames were already solved consistently
             rim = {s for s in moved
-                   if any(f.ref_id in boundary or f.curr_id in boundary
-                          for f in adj.get(s, ()))}
+                   if any(self.factors[fidx].ref_id in boundary
+                          or self.factors[fidx].curr_id in boundary
+                          for fidx in adj.get(s, ()))}
             touched = {s for s, d in moved.items()
                        if d > cfg.inc_update_threshold} & rim
             if not touched:

@@ -237,11 +237,14 @@ def build_neighbor_list(
     axis_offs = [(-1, 0, 1) if d > 1 else (0,) for d in (gx, gy, gz)]
     blk = _select_blk(N)
     kernel_ok = gz >= 3 and blk is not None
-    if select == "kernel" and not kernel_ok:
+    if select in ("kernel", "kernel_interpret") and not kernel_ok:
+        # an explicit kernel request (including the interpret mode the
+        # CPU parity tests rely on) must not silently become the sort
+        # path — that would make kernel-vs-sort parity tests vacuous
         raise ValueError(
-            f"select='kernel' needs gz >= 3 (got {gz}) and a pallas_select "
-            f"block size dividing the source capacity (got N={N}); use "
-            "select='auto' to fall back to the sort path.")
+            f"select={select!r} needs gz >= 3 (got {gz}) and a "
+            f"pallas_select block size dividing the source capacity "
+            f"(got N={N}); use select='auto' to fall back to the sort path.")
     use_kernel = select in ("kernel", "kernel_interpret") or (
         select == "auto" and jax.default_backend() == "tpu" and kernel_ok)
     # explicit 'kernel' off-TPU would attempt a real Mosaic lowering that
