@@ -46,7 +46,7 @@ def main():
             t0 = time.time()
             poses = run_sequence(
                 d, PARAMS, out, 0, N_FRAMES, denoise=False,
-                log=lambda *a, **k: None, frontend=fe)
+                log=lambda *a, **k: None, frontend=fe, capacity=16384)
             dt = time.time() - t0
         fps = (N_FRAMES - 1) / dt
         t_err, r_err = kitti_seq_error(gt[:len(poses)], np.asarray(poses),
