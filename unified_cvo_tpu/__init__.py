@@ -32,10 +32,26 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 import os as _os
 
 if not _os.environ.get("UNIFIED_CVO_NO_COMPILE_CACHE"):
+    # Partition by host CPU identity: XLA:CPU AOT executables are
+    # machine-type specific, and a cache entry produced on a different
+    # host intermittently loads with mismatched buffer layouts
+    # ("Execution supplied 4 buffers but compiled program expected 7",
+    # plus a cpu_aot_loader machine-feature warning — measured round 5).
+    import hashlib as _hashlib
+    import platform as _platform
+
+    try:
+        with open("/proc/cpuinfo") as _f:
+            _flags = next((ln for ln in _f if ln.startswith("flags")), "")
+    except OSError:
+        _flags = ""
+    _mkey = _hashlib.sha1(
+        (_platform.machine() + _flags).encode()).hexdigest()[:10]
     _jax.config.update(
         "jax_compilation_cache_dir",
-        _os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                        _os.path.expanduser("~/.cache/unified_cvo_tpu_xla")))
+        _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.expanduser(f"~/.cache/unified_cvo_tpu_xla/{_mkey}")))
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from unified_cvo_tpu.config import CvoParams, read_cvo_params_yaml

@@ -254,11 +254,22 @@ def device_pointcloud_from_stereo(
     Kinv = jnp.asarray(np.linalg.inv(calib.intrinsic), jnp.float32)
     # ship images in their native dtype (uint8 = 4x fewer bytes than f32
     # over a remote-TPU tunnel); _stereo_impl casts on device
-    return _stereo_impl(
-        jnp.asarray(left), jnp.asarray(right_gray),
-        Kinv, jnp.float32(abs(calib.baseline) * calib.fx),
-        pot, capacity, max_disp, max_range, v_min, v_bottom_margin, denoise,
-    )
+    args = (jnp.asarray(left), jnp.asarray(right_gray),
+            Kinv, jnp.float32(abs(calib.baseline) * calib.fx),
+            pot, capacity, max_disp, max_range, v_min, v_bottom_margin,
+            denoise)
+    try:
+        return _stereo_impl(*args)
+    except ValueError as e:
+        # observed XLA:CPU runtime defect (round 5): after tracing this
+        # function at a second image shape in one process, dispatch can
+        # intermittently bind the WRONG cached executable ("Execution
+        # supplied N buffers but compiled program expected M").
+        # Dropping the jit caches and re-dispatching recompiles cleanly.
+        if "buffers but compiled program expected" not in str(e):
+            raise
+        jax.clear_caches()
+        return _stereo_impl(*args)
 
 
 def device_pointcloud_from_rgbd(
